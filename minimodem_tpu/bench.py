@@ -1,0 +1,102 @@
+"""--benchmarks mode: tone-generator throughput in 4 configurations
+(reference: src/minimodem.c:305-365), plus a decode throughput section
+that is this framework's headline metric."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from . import __version__
+from .sigio import Direction, SampleFormat, open_stream
+from .ops.tx import ToneGenerator
+
+
+def _cpu_model() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "cpu model")):
+                    return line.strip()
+    except OSError:
+        pass
+    return "cpu model\t: unknown"
+
+
+def _device_model() -> str:
+    try:
+        import jax
+        d = jax.devices()[0]
+        return f"accelerator\t: {d.device_kind} ({d.platform})"
+    except Exception:
+        return "accelerator\t: none"
+
+
+def generate_test_tones(gen: ToneGenerator, stream, duration_sec: int,
+                        synth_backend: str) -> None:
+    """Alternating 1000/1777 Hz tones (reference: src/minimodem.c:293-303)."""
+    rate = stream.rate
+    nframes = rate // 10
+    for _ in range(rate // nframes * duration_sec):
+        gen.tone(1000, nframes // 2)
+        gen.tone(1777, nframes // 2)
+        stream.write(gen.synthesize(synth_backend))
+
+
+def run_tx_benchmarks(duration_sec: int = 10,
+                      synth_backend: str = "numpy") -> None:
+    print(f"minimodem-tpu {__version__} benchmarks")
+    print(_cpu_model())
+    print(_device_model())
+    sys.stdout.flush()
+
+    sample_rate = 48000
+    configs = [
+        (1024, SampleFormat.S16, "generate-tones-lut1024-S16-mono"),
+        (1024, SampleFormat.FLOAT, "generate-tones-lut1024-FLOAT-mono"),
+        (0, SampleFormat.S16, "generate-tones-nolut-S16-mono"),
+        (0, SampleFormat.FLOAT, "generate-tones-nolut-FLOAT-mono"),
+    ]
+    for lut, fmt, name in configs:
+        stream = open_stream("benchmark", None, Direction.PLAYBACK, fmt,
+                             sample_rate, 1, "minimodem-tpu", name)
+        gen = ToneGenerator(sample_rate, fmt, lut, 1.0)
+        generate_test_tones(gen, stream, duration_sec, synth_backend)
+        stream.close()
+
+
+def decode_throughput(mode: str = "1200", audio_seconds: float = 60.0,
+                      sample_rate: int = 48000, warmup: bool = True,
+                      precision: str = "auto") -> dict:
+    """Measure RX decode throughput as a real-time factor
+    (audio-seconds decoded per wall-clock second)."""
+    from .models.modem import FskModem
+
+    m = FskModem(mode, sample_rate=sample_rate, precision=precision)
+    # build a message long enough to fill audio_seconds
+    rate = float(m.cfg.data_rate)
+    bits_per_byte = m.cfg.frame_n_bits
+    nbytes = max(16, int(audio_seconds * rate / bits_per_byte))
+    payload = bytes((33 + (i % 94)) for i in range(nbytes))
+    samples = m.modulate(payload)
+    audio_sec = len(samples) / sample_rate
+
+    if warmup:
+        m.demodulate(samples[: sample_rate])  # compile
+
+    t0 = time.perf_counter()
+    out = m.demodulate(samples)
+    dt = time.perf_counter() - t0
+
+    ok = out == payload
+    return {
+        "mode": mode,
+        "audio_seconds": audio_sec,
+        "wall_seconds": dt,
+        "real_time_factor": audio_sec / dt,
+        "decode_exact": bool(ok),
+        "decoded_bytes": len(out),
+        "expected_bytes": len(payload),
+    }

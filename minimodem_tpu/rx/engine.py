@@ -1,0 +1,409 @@
+"""RX carrier state machine.
+
+Replays, decision-for-decision, the reference's sequential receive loop
+(reference: src/minimodem.c:1137-1463) — carrier acquisition/tracking,
+confidence squelch, amplitude squelch, frame-position search order, and
+variable sample advance — but consumes *precomputed batched score arrays*
+from ops/demod.py instead of running per-offset FFTs.  All heavy math is
+done by the TPU scorer; this file is O(1) scalar work per frame.
+
+Differences from the reference, by design:
+- Samples past end-of-stream score as silence (zeros).  The reference reads
+  stale buffer contents there (src/fsk.c never bounds-checks against
+  samples_nvalid); silence is strictly saner and changes nothing on valid
+  signals.
+- The frame search never re-runs DFTs: fsk_find_frame's center-out scan
+  (reference: src/fsk.c:477-502) just *indexes* the score arrays in the same
+  order with the same early-exit rule.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from ..codecs import bit_reverse, bit_window
+from ..config import ModemConfig, RxOptions
+from ..ops.demod import DemodScorer
+from ..utils.cfloat import (
+    f32,
+    f32_add,
+    f32_div,
+    f32_mul,
+    f32_sub,
+    round_half_up_i,
+    trunc_i,
+)
+
+INFINITY = math.inf
+
+FSK_ANALYZE_NSTEPS = 3          # reference: src/minimodem.c:1248
+FSK_ANALYZE_NSTEPS_FINE = 8     # reference: src/minimodem.c:1365
+FSK_MAX_NOCONFIDENCE_BITS = 20  # reference: src/minimodem.c:1290
+
+
+class ScoreProvider:
+    """Chunked, cached access to per-offset demod scores at absolute
+    stream positions.  Owns the sample array; retunes (carrier autodetect)
+    swap the scorer."""
+
+    def __init__(self, samples: np.ndarray, cfg: ModemConfig,
+                 precision: str = "auto", chunk_len: int = 1 << 17):
+        self.samples = np.ascontiguousarray(samples, dtype=np.float32)
+        self.cfg = cfg
+        self.precision = precision
+        self.requested_chunk_len = chunk_len
+        self._scorers: Dict[Tuple[int, int], DemodScorer] = {}
+        self._cache: Dict[Tuple[int, int, int], dict] = {}
+        self._current_bands = (cfg.b_mark, cfg.b_space)
+
+    def set_tones(self, b_mark: int, b_space: int) -> None:
+        self._current_bands = (b_mark, b_space)
+
+    def _scorer(self) -> DemodScorer:
+        key = self._current_bands
+        sc = self._scorers.get(key)
+        if sc is None:
+            cfg = self.cfg
+            if key != (cfg.b_mark, cfg.b_space):
+                import copy
+                cfg = copy.copy(cfg)
+                cfg.set_tones_by_bandshift(key[0], key[1] - key[0])
+            sc = DemodScorer(cfg, self.precision, self.requested_chunk_len)
+            self._scorers[key] = sc
+        return sc
+
+    def _chunk(self, abs_t: int) -> Tuple[dict, int]:
+        sc = self._scorer()
+        t_len = sc.chunk_len
+        idx = abs_t // t_len
+        key = (*self._current_bands, idx)
+        out = self._cache.get(key)
+        if out is None:
+            c0 = idx * t_len
+            out = sc.score(self.samples[c0:c0 + t_len + sc.geo.halo])
+            # keep only a couple of chunks around
+            if len(self._cache) > 2:
+                self._cache.clear()
+            self._cache[key] = out
+        return out, abs_t - idx * t_len
+
+    def query(self, abs_t: int, use_sync: bool):
+        """-> (confidence f32, ampl f32, frame_bits int)"""
+        out, rel = self._chunk(abs_t)
+        which = "sync" if use_sync else "data"
+        conf = out[f"conf_{which}"][rel]
+        ampl = out[f"ampl_{which}"][rel]
+        bits = int(out["bits_lo"][rel]) | (int(out["bits_hi"][rel]) << 32)
+        return conf, ampl, bits
+
+
+def detect_carrier_band(samples: np.ndarray, nsamples: int, fftsize: int,
+                        min_mag_threshold: float) -> int:
+    """Full-spectrum argmax carrier detect (reference: src/fsk.c:543-581)."""
+    x = np.zeros(fftsize, dtype=np.float32)
+    n = min(nsamples, len(samples), fftsize)
+    x[:n] = samples[:n]
+    spec = np.fft.rfft(x)
+    magscalar = f32_div(1.0, f32_div(nsamples, 2.0))
+    mags = (np.abs(spec) * float(magscalar)).astype(np.float32)
+    best_band, best_mag = -1, np.float32(0.0)
+    thr = np.float32(min_mag_threshold)
+    for i in range(1, len(mags)):  # skip DC
+        m = mags[i]
+        if m < thr:
+            continue
+        if best_mag < m:
+            best_mag, best_band = m, i
+    return best_band
+
+
+class Receiver:
+    """File/stream receiver: run() consumes a float32 sample array and
+    writes decoded bytes + protocol messages."""
+
+    def __init__(
+        self,
+        cfg: ModemConfig,
+        opts: RxOptions,
+        codec,
+        write_out: Callable[[bytes], None],
+        write_err: Callable[[str], None] = lambda s: sys.stderr.write(s),
+    ):
+        self.cfg = cfg
+        self.opts = opts.sanitize()
+        self.codec = codec
+        self.write_out = write_out
+        self.write_err = write_err
+        self.stats = None  # filled per NOCARRIER report (for tests)
+
+    # ------------------------------------------------------------------
+    def run(self, samples: np.ndarray, provider: Optional[ScoreProvider] = None) -> int:
+        cfg = self.cfg
+        opts = self.opts
+        if provider is None:
+            provider = ScoreProvider(samples, cfg, opts.precision)
+        total = len(samples)
+
+        # samplebuf sizing (reference: src/minimodem.c:1052-1071)
+        nbits = 1 + cfg.nstartbits + cfg.n_data_bits + 1
+        samplebuf_size = int(np.ceil(np.float32(cfg.nsamples_per_bit))) * (nbits + 1)
+        samplebuf_size *= 2
+        if samplebuf_size < cfg.sample_rate // 12:
+            samplebuf_size = cfg.sample_rate // 12
+
+        nspb = cfg.nsamples_per_bit
+        overscan = cfg.nsamples_overscan
+        expect_nsamples = cfg.expect_nsamples
+        frame_nsamples = cfg.frame_nsamples
+        frame_n_bits = cfg.frame_n_bits
+
+        pos = 0                # absolute index of samplebuf[0]
+        nvalid = 0
+        advance = 0
+        carrier = False
+        carrier_band = -1
+        noconfidence = 0
+        track_amplitude = f32(0.0)
+        peak_confidence = f32(0.0)
+        confidence_total = f32(0.0)
+        amplitude_total = f32(0.0)
+        nframes_decoded = 0
+        carrier_nsamples = 0
+        ret = 0
+
+        try:
+            while True:
+                # ---- window advance (reference: :1144-1156) ----
+                if advance == samplebuf_size:
+                    nvalid = 0
+                    advance = 0
+                if advance:
+                    if advance > nvalid:
+                        break
+                    pos += advance
+                    nvalid -= advance
+                    advance = 0
+
+                # ---- refill (reference: :1158-1174) ----
+                if nvalid < samplebuf_size // 2:
+                    read_n = samplebuf_size // 2
+                    r = min(read_n, max(0, total - (pos + nvalid)))
+                    nvalid += r
+
+                if nvalid == 0:
+                    break
+
+                # ---- carrier autodetect (reference: :1179-1220) ----
+                if opts.carrier_autodetect_threshold > 0.0 and carrier_band < 0:
+                    nscan_f = nspb
+                    if float(nscan_f) > cfg.fftsize:
+                        nscan_f = f32(cfg.fftsize)
+                    nscan = trunc_i(nscan_f)
+                    i = 0
+                    carrier_band = -1
+                    while np.float32(i) + nscan_f <= np.float32(nvalid):
+                        carrier_band = detect_carrier_band(
+                            provider.samples[pos + i: pos + i + nscan],
+                            nscan, cfg.fftsize,
+                            opts.carrier_autodetect_threshold)
+                        if carrier_band >= 0:
+                            break
+                        i = trunc_i(np.float32(i) + nscan_f)
+                    advance = trunc_i(np.float32(i) + nscan_f)
+                    if advance > nvalid:
+                        advance = nvalid
+                    if carrier_band < 0:
+                        continue
+
+                    b_shift = -trunc_i(f32_div(
+                        f32_add(cfg.autodetect_shift,
+                                f32_div(cfg.band_width, 2.0)),
+                        cfg.band_width))
+                    if cfg.inverted_freqs:
+                        b_shift *= -1
+                    b_space = carrier_band + b_shift
+                    if b_space < 1 or b_space >= cfg.nbands:
+                        carrier_band = -1
+                        continue
+                    provider.set_tones(carrier_band, b_space)
+                    # keep a retuned copy for protocol prints
+                    self._tuned_b_mark = carrier_band
+                else:
+                    self._tuned_b_mark = getattr(
+                        self, "_tuned_b_mark", cfg.b_mark)
+
+                if nvalid < expect_nsamples:
+                    break
+
+                # ---- frame search (reference: :1232-1274) ----
+                if carrier:
+                    try_max = round_half_up_i(f32_mul(nspb, 0.75))
+                else:
+                    try_max = trunc_i(nspb)
+                try_max += overscan
+                try_step = try_max // FSK_ANALYZE_NSTEPS
+                if try_step == 0:
+                    try_step = 1
+
+                try_first = overscan if carrier else 0
+                use_sync = not carrier
+
+                confidence, bits, amplitude, frame_start = self._find_frame(
+                    provider, pos, try_first, try_max, try_step,
+                    f32(opts.confidence_search_limit), use_sync)
+
+                do_refine_frame = False
+                if confidence < peak_confidence * np.float32(0.75):
+                    do_refine_frame = True
+                    peak_confidence = f32(0.0)
+
+                # amplitude-drop squelch (reference: :1284-1288)
+                if amplitude < track_amplitude * np.float32(0.25):
+                    confidence = f32(0.0)
+
+                # ---- no-confidence path (reference: :1292-1321) ----
+                if confidence <= np.float32(opts.confidence_threshold):
+                    noconfidence += 1
+                    if noconfidence > FSK_MAX_NOCONFIDENCE_BITS:
+                        carrier_band = -1
+                        if carrier:
+                            if not opts.quiet:
+                                self._report_no_carrier(
+                                    nframes_decoded, carrier_nsamples,
+                                    confidence_total, amplitude_total)
+                            carrier = False
+                            carrier_nsamples = 0
+                            confidence_total = f32(0.0)
+                            amplitude_total = f32(0.0)
+                            nframes_decoded = 0
+                            track_amplitude = f32(0.0)
+                            if opts.rx_one:
+                                break
+                    advance = try_max
+                    continue
+
+                # ---- got a frame ----
+                carrier_nsamples += frame_nsamples
+                if carrier:
+                    carrier_nsamples += frame_start
+                    carrier_nsamples -= overscan
+                else:
+                    # acquired carrier (reference: :1332-1355)
+                    if not opts.quiet:
+                        b_mark_now = (self._tuned_b_mark
+                                      if carrier_band >= 0 else cfg.b_mark)
+                        freq = float(f32_mul(b_mark_now, cfg.band_width))
+                        if float(cfg.data_rate) >= 100:
+                            self.write_err(
+                                "### CARRIER %u @ %.1f Hz ###\n"
+                                % (round_half_up_i(cfg.data_rate), freq))
+                        else:
+                            self.write_err(
+                                "### CARRIER %.2f @ %.1f Hz ###\n"
+                                % (float(cfg.data_rate), freq))
+                    carrier = True
+                    self.codec.reset()
+                    do_refine_frame = True
+
+                # ---- fine rescan (reference: :1357-1389) ----
+                if do_refine_frame:
+                    if confidence < INFINITY and try_step > 1:
+                        fine_step = try_max // FSK_ANALYZE_NSTEPS_FINE
+                        if fine_step == 0:
+                            fine_step = 1
+                        c2, b2, a2, fs2 = self._find_frame(
+                            provider, pos, try_first, try_max, fine_step,
+                            f32(INFINITY), not carrier)
+                        if c2 > confidence:
+                            bits, amplitude, frame_start = b2, a2, fs2
+                            # NB: the reference does NOT update `confidence`
+                            # here (src/minimodem.c:1383-1387)
+
+                track_amplitude = f32_div(f32_add(track_amplitude, amplitude), 2.0)
+                if peak_confidence < confidence:
+                    peak_confidence = confidence
+                confidence_total = f32_add(confidence_total, confidence)
+                amplitude_total = f32_add(amplitude_total, amplitude)
+                nframes_decoded += 1
+                noconfidence = 0
+
+                advance = frame_start + frame_nsamples - overscan
+
+                # ---- frame bit post-processing (reference: :1414-1443) ----
+                if float(cfg.nstopbits) != 0.0:
+                    bits >>= 1  # chop prev_stop bit
+                bits = bit_window(bits, cfg.nstartbits, cfg.n_data_bits)
+                if cfg.msb_first:
+                    bits = bit_reverse(bits, cfg.n_data_bits)
+
+                if cfg.do_rx_sync and bits == cfg.sync_byte:
+                    continue  # suppress sync bytes
+
+                data = self.codec.decode(bits, cfg.n_data_bits)
+                if not data:
+                    continue
+                if opts.print_filter:
+                    data = bytes(
+                        b if (32 <= b < 127 or b in (9, 10, 11, 12, 13, 32))
+                        else ord(".") for b in data)
+                self.write_out(data)
+        except KeyboardInterrupt:
+            pass
+
+        if carrier and not opts.quiet:
+            self._report_no_carrier(nframes_decoded, carrier_nsamples,
+                                    confidence_total, amplitude_total)
+        return ret
+
+    # ------------------------------------------------------------------
+    def _find_frame(self, provider: ScoreProvider, pos: int, try_first: int,
+                    try_max: int, try_step: int, limit, use_sync: bool):
+        """Center-out scan with early exit (reference: src/fsk.c:449-538).
+        Pure replay over precomputed scores."""
+        best_t = 0
+        best_c = np.float32(0.0)
+        best_a = np.float32(0.0)
+        best_bits = 0
+        j = 0
+        while True:
+            up = 1 if (j % 2) else -1
+            t = try_first + up * ((j + 1) // 2) * try_step
+            j += 1
+            if t >= try_max:
+                break
+            if t < 0:
+                continue
+            c, a, bits = provider.query(pos + t, use_sync)
+            if best_c < c:
+                best_t, best_c, best_a, best_bits = t, c, a, bits
+                if best_c >= limit:
+                    break
+        return best_c, best_bits, best_a, best_t
+
+    # ------------------------------------------------------------------
+    def _report_no_carrier(self, nframes: int, carrier_nsamples: int,
+                           confidence_total, amplitude_total) -> None:
+        """NOCARRIER stats line (reference: src/minimodem.c:253-291)."""
+        cfg = self.cfg
+        nbits_decoded = f32_mul(nframes, cfg.frame_n_bits)
+        throughput = f32_div(
+            f32_mul(nbits_decoded, cfg.sample_rate), carrier_nsamples)
+        conf_avg = float(f32_div(confidence_total, nframes)) if nframes else float("nan")
+        ampl_avg = float(f32_div(amplitude_total, nframes)) if nframes else float("nan")
+        line = "\n### NOCARRIER ndata=%u confidence=%.3f ampl=%.3f bps=%.2f" % (
+            nframes, conf_avg, ampl_avg, float(throughput))
+
+        lhs = int(np.trunc(f32_add(f32_mul(nbits_decoded, cfg.sample_rate), 0.5)))
+        rhs = int(np.trunc(f32_mul(cfg.data_rate, carrier_nsamples)))
+        if lhs == rhs:
+            line += " (rate perfect) ###\n"
+        else:
+            skew = f32_div(f32_sub(throughput, cfg.data_rate), cfg.data_rate)
+            direction = "slow" if math.copysign(1.0, float(skew)) < 0 else "fast"
+            line += " (%.1f%% %s) ###\n" % (abs(float(skew)) * 100.0, direction)
+        self.stats = line
+        self.write_err(line)

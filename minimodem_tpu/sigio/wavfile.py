@@ -1,0 +1,265 @@
+"""Deterministic WAV/AU/RAW file codec.
+
+Replaces the reference's libsndfile backend
+(reference: src/simpleaudio-sndfile.c) with a self-contained codec.  Output
+is byte-deterministic: fixed headers, no timestamps, and no PEAK chunk (the
+reference explicitly disables libsndfile's PEAK chunk for the same reason,
+reference: src/simpleaudio-sndfile.c:203-210).
+
+Containers (selected by filename extension on write, by magic on read,
+mirroring the reference's extension table at
+src/simpleaudio-sndfile.c:111-157):
+- .wav  : RIFF/WAVE, PCM16 or IEEE-float32
+- .au   : Sun AU, PCM16-BE or float32-BE
+- .raw  : headerless samples at the configured rate/format
+Other containers (FLAC/OGG/...) need external codec libraries that are not
+part of this build and raise a clear error.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+from . import Direction, SampleFormat, Stream
+
+_WAVE_FORMAT_PCM = 1
+_WAVE_FORMAT_IEEE_FLOAT = 3
+
+_AU_MAGIC = b".snd"
+_AU_ENC_PCM16 = 3
+_AU_ENC_FLOAT32 = 6
+
+
+def _container_from_path(path: str) -> str:
+    ext = os.path.splitext(path)[1].lower().lstrip(".")
+    if ext in ("wav", "wave"):
+        return "wav"
+    if ext == "au":
+        return "au"
+    if ext in ("raw", "pcm", "sw"):
+        return "raw"
+    if ext in ("flac", "ogg", "aiff", "aif", "caf", "w64", "voc", "mat4",
+               "mat5", "paf", "svx", "nist", "ircam", "pvf", "xi", "htk",
+               "sds", "avr", "wavex", "sd2", "wve", "mpc2k", "rf64"):
+        raise RuntimeError(
+            f"E: container '.{ext}' requires an external codec library not "
+            f"included in this build; use .wav, .au, or .raw")
+    # unknown extension defaults to WAV, like the reference
+    # (src/simpleaudio-sndfile.c:159-172)
+    return "wav"
+
+
+class FileStream(Stream):
+    def __init__(self, path: str, direction: Direction, fmt: SampleFormat,
+                 rate: int, channels: int):
+        super().__init__(fmt, rate, channels)
+        self.path = path
+        self.direction = direction
+        self._frames_written = 0
+        if direction is Direction.PLAYBACK:
+            self.container = _container_from_path(path)
+            self._fh = open(path, "wb")
+            self._write_header_placeholder()
+        else:
+            self._fh = open(path, "rb")
+            self._read_header()
+
+    # ================= write side =================
+    def _write_header_placeholder(self) -> None:
+        if self.container == "wav":
+            self._fh.write(self._wav_header(0))
+        elif self.container == "au":
+            self._fh.write(self._au_header(0xFFFFFFFF))
+        # raw: no header
+
+    def _wav_header(self, data_nbytes: int) -> bytes:
+        fmt_tag = (_WAVE_FORMAT_IEEE_FLOAT if self.format is SampleFormat.FLOAT
+                   else _WAVE_FORMAT_PCM)
+        block_align = self.framesize
+        byte_rate = self.rate * block_align
+        bits = self.samplesize * 8
+        chunks = b""
+        chunks += struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, fmt_tag, self.channels,
+            self.rate, byte_rate, block_align, bits)
+        if fmt_tag == _WAVE_FORMAT_IEEE_FLOAT:
+            nframes = data_nbytes // block_align
+            chunks += struct.pack("<4sII", b"fact", 4, nframes)
+        chunks += struct.pack("<4sI", b"data", data_nbytes)
+        riff_size = 4 + len(chunks) + data_nbytes
+        return struct.pack("<4sI4s", b"RIFF", riff_size, b"WAVE") + chunks
+
+    def _au_header(self, data_nbytes: int) -> bytes:
+        enc = (_AU_ENC_FLOAT32 if self.format is SampleFormat.FLOAT
+               else _AU_ENC_PCM16)
+        return struct.pack(
+            ">4sIIIII", _AU_MAGIC, 24, data_nbytes, enc, self.rate,
+            self.channels)
+
+    def _write(self, buf: np.ndarray) -> int:
+        buf = np.asarray(buf, dtype=self.format.dtype)
+        if self.container == "au":
+            data = buf.astype(buf.dtype.newbyteorder(">")).tobytes()
+        else:
+            data = buf.astype(buf.dtype.newbyteorder("<")).tobytes()
+        self._fh.write(data)
+        nframes = buf.size // self.channels if self.channels else buf.size
+        self._frames_written += nframes
+        return nframes
+
+    # ================= read side =================
+    def _read_header(self) -> None:
+        magic = self._fh.read(4)
+        if magic == b"RIFF":
+            self._parse_wav()
+        elif magic == _AU_MAGIC:
+            self._parse_au()
+        else:
+            # headerless: raw samples at configured rate/format
+            self._fh.seek(0)
+            self.container = "raw"
+            self._src_dtype = self.format.dtype.newbyteorder("<")
+            self._src_fmt_tag = None
+            size = os.fstat(self._fh.fileno()).st_size
+            self._data_remaining = size
+
+    def _parse_wav(self) -> None:
+        self.container = "wav"
+        self._fh.read(4)  # riff size
+        if self._fh.read(4) != b"WAVE":
+            raise RuntimeError(f"{self.path}: not a WAVE file")
+        fmt_tag = None
+        while True:
+            hdr = self._fh.read(8)
+            if len(hdr) < 8:
+                raise RuntimeError(f"{self.path}: no data chunk")
+            cid, csize = struct.unpack("<4sI", hdr)
+            if cid == b"fmt ":
+                body = self._fh.read(csize)
+                (fmt_tag, nch, rate, _br, _ba, bits) = struct.unpack(
+                    "<HHIIHH", body[:16])
+                if fmt_tag == 0xFFFE and csize >= 40:  # WAVE_FORMAT_EXTENSIBLE
+                    fmt_tag = struct.unpack("<H", body[24:26])[0]
+                self.channels = nch
+                self.rate = rate
+                self._src_bits = bits
+            elif cid == b"data":
+                self._data_remaining = csize
+                break
+            else:
+                self._fh.seek(csize + (csize & 1), 1)
+        if fmt_tag == _WAVE_FORMAT_PCM:
+            dt = {8: np.uint8, 16: np.int16, 32: np.int32}.get(self._src_bits)
+            if dt is None and self._src_bits == 24:
+                dt = "i24"
+            if dt is None:
+                raise RuntimeError(
+                    f"{self.path}: unsupported PCM bit depth {self._src_bits}")
+            self._src_dtype = dt
+        elif fmt_tag == _WAVE_FORMAT_IEEE_FLOAT:
+            self._src_dtype = np.dtype(np.float32).newbyteorder("<") \
+                if self._src_bits == 32 else np.dtype(np.float64).newbyteorder("<")
+        else:
+            raise RuntimeError(f"{self.path}: unsupported WAV format {fmt_tag}")
+        self._src_fmt_tag = fmt_tag
+
+    def _parse_au(self) -> None:
+        self.container = "au"
+        hdr = self._fh.read(20)
+        data_off, data_size, enc, rate, nch = struct.unpack(">IIIII", hdr)
+        self._fh.seek(data_off)
+        self.rate = rate
+        self.channels = nch
+        if enc == _AU_ENC_PCM16:
+            self._src_dtype = np.dtype(np.int16).newbyteorder(">")
+            self._src_fmt_tag = _WAVE_FORMAT_PCM
+            self._src_bits = 16
+        elif enc == _AU_ENC_FLOAT32:
+            self._src_dtype = np.dtype(np.float32).newbyteorder(">")
+            self._src_fmt_tag = _WAVE_FORMAT_IEEE_FLOAT
+            self._src_bits = 32
+        else:
+            raise RuntimeError(f"{self.path}: unsupported AU encoding {enc}")
+        size = os.fstat(self._fh.fileno()).st_size
+        self._data_remaining = min(data_size, size - data_off)
+
+    def _read(self, nframes: int) -> np.ndarray:
+        if self._src_dtype == "i24":
+            return self._read_pcm24(nframes)
+        dt = np.dtype(self._src_dtype)
+        want = nframes * self.channels * dt.itemsize
+        want = min(want, self._data_remaining)
+        raw = self._fh.read(want)
+        self._data_remaining -= len(raw)
+        n = len(raw) // dt.itemsize
+        vals = np.frombuffer(raw[: n * dt.itemsize], dtype=dt)
+        return self._convert(vals)
+
+    def _read_pcm24(self, nframes: int) -> np.ndarray:
+        want = min(nframes * self.channels * 3, self._data_remaining)
+        raw = self._fh.read(want)
+        self._data_remaining -= len(raw)
+        n = len(raw) // 3
+        b = np.frombuffer(raw[: n * 3], dtype=np.uint8).reshape(n, 3)
+        vals = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int8).astype(np.int32) << 16)
+        )
+        # scale like 32-bit PCM for normalization purposes
+        vals = vals << 8
+        return self._convert(vals.view(np.int32), src_bits=32)
+
+    def _convert(self, vals: np.ndarray, src_bits: int | None = None) -> np.ndarray:
+        """Convert source samples to the stream's requested format using
+        libsndfile's normalization conventions (PCM16 <-> float via /32768)."""
+        bits = src_bits or getattr(self, "_src_bits", 16)
+        if self.format is SampleFormat.FLOAT:
+            if vals.dtype.kind == "f":
+                return np.asarray(vals, dtype=np.float32)
+            if vals.dtype == np.uint8:
+                return ((vals.astype(np.float32) - 128.0) / 128.0).astype(np.float32)
+            scale = np.float32(1 << (bits - 1))
+            return (vals.astype(np.float32) / scale).astype(np.float32)
+        else:  # S16
+            if vals.dtype.kind == "f":
+                f = np.clip(np.asarray(vals, np.float32), -1.0, 1.0)
+                return (f * 32767.0).astype(np.int16)
+            if vals.dtype == np.uint8:
+                return ((vals.astype(np.int16) - 128) << 8).astype(np.int16)
+            if bits == 16:
+                return np.asarray(vals, np.int16)
+            return (vals >> (bits - 16)).astype(np.int16)
+
+    # ================= close =================
+    def _close(self) -> None:
+        if self.direction is Direction.PLAYBACK:
+            data_nbytes = self._frames_written * self.framesize
+            if self.container == "wav":
+                self._fh.seek(0)
+                self._fh.write(self._wav_header(data_nbytes))
+            elif self.container == "au":
+                self._fh.seek(0)
+                self._fh.write(self._au_header(data_nbytes))
+        self._fh.close()
+
+
+def read_all(path: str, fmt: SampleFormat = SampleFormat.FLOAT):
+    """Convenience: read an entire audio file -> (samples, rate, channels)."""
+    st = FileStream(path, Direction.RECORD, fmt, 0, 1)
+    chunks = []
+    while True:
+        c = st.read(1 << 20)
+        if c.size == 0:
+            break
+        chunks.append(c)
+    rate, ch = st.rate, st.channels
+    st.close()
+    if chunks:
+        samples = np.concatenate(chunks)
+    else:
+        samples = np.zeros(0, dtype=fmt.dtype)
+    return samples, rate, ch
