@@ -27,7 +27,12 @@ _jax.config.update("jax_enable_x64", True)
 # (config geometry, chunk length) and reused across CLI invocations
 _cache_dir = _os.environ.get(
     "MINIMODEM_TPU_JAX_CACHE",
-    _os.path.join(_os.path.expanduser("~"), ".cache", "minimodem_tpu", "jax"),
+    _os.path.join(
+        _os.path.expanduser("~"), ".cache", "minimodem_tpu",
+        # separate caches per platform: executables AOT-compiled for one
+        # host/backend combination must not be loaded by another
+        "jax-" + _os.environ.get("JAX_PLATFORMS", "default").replace(",", "-"),
+    ),
 )
 if _cache_dir:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)

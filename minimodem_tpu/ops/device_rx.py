@@ -1,0 +1,438 @@
+"""Fully device-resident receiver.
+
+Runs the ENTIRE receive pipeline on TPU in one XLA program:
+
+  stage 1: sliding 4-basis correlation -> per-sample mark/space magnitudes
+  stage 2: per-offset frame confidence/bits (same math as ops/demod.py)
+  stage 3: the sequential carrier state machine as a lax.while_loop over
+           the score arrays, emitting a compact per-frame EVENT stream
+
+Only the event stream (~28 bytes per decoded frame) returns to host, where
+the byte-level codecs and stderr protocol lines are produced.  This removes
+the device->host transfer of per-offset arrays — the bottleneck of the
+chunked host engine (per-offset arrays are ~1.2 MB per audio-second, and
+the host link in this environment moves ~10 MB/s).
+
+Stage 3 replays, decision-for-decision, the same reference logic as
+rx/engine.py (reference: src/minimodem.c:1137-1463 and src/fsk.c:449-538):
+center-out frame search with strict-improvement and early exit, confidence
+squelch, amplitude-drop squelch, carrier acquisition/loss bookkeeping, fine
+rescan, and float32 stats accumulation in reference order.
+
+Not covered here (host engine handles these modes): carrier autodetect
+(-a), which retunes the correlation basis mid-stream.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModemConfig
+from .demod import (
+    _DIRECT_CONV_MAX_NB,
+    DemodGeometry,
+    _correlate_direct,
+    _correlate_fft,
+    geometry_from_config,
+    make_basis,
+)
+
+FSK_ANALYZE_NSTEPS = 3          # reference: src/minimodem.c:1248
+FSK_ANALYZE_NSTEPS_FINE = 8     # reference: src/minimodem.c:1365
+FSK_MAX_NOCONFIDENCE_BITS = 20  # reference: src/minimodem.c:1290
+
+# event types in the output stream
+EV_FRAME = 0
+EV_CARRIER = 1
+EV_NOCARRIER = 2
+
+
+def _scan_order(try_first: int, try_max: int, try_step: int) -> list:
+    """The center-out candidate order of fsk_find_frame
+    (reference: src/fsk.c:477-502), as a static offset list."""
+    out = []
+    j = 0
+    while True:
+        up = 1 if (j % 2) else -1
+        t = try_first + up * ((j + 1) // 2) * try_step
+        j += 1
+        if t >= try_max:
+            break
+        if t < 0:
+            continue
+        out.append(t)
+        if j > 8192:
+            break
+    return out
+
+
+def device_rx_key(cfg: ModemConfig, precision: str = "auto"):
+    """Hashable snapshot of everything the compiled receiver depends on."""
+    geo = geometry_from_config(cfg, precision)
+    return (
+        cfg.sample_rate,
+        int(np.float32(cfg.data_rate).view(np.uint32)),
+        cfg.n_data_bits,
+        cfg.nstartbits,
+        int(np.float32(cfg.nstopbits).view(np.uint32)),
+        geo.b_mark, geo.b_space, geo.fftsize, geo.nb,
+        int(np.float32(geo.magscalar).view(np.uint32)),
+        geo.bit_begin, geo.n_bits, geo.req_data, geo.req_sync, geo.use_f64,
+        cfg.frame_nsamples, cfg.nsamples_overscan, cfg.expect_nsamples,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _build_device_rx(cfg_key, t_total: int, rx_one: bool):
+    """Compile the full device receiver for a fixed scored length
+    t_total (>= stream length in samples)."""
+    (sample_rate, data_rate_bits, n_data_bits, nstartbits, nstopbits_bits,
+     b_mark, b_space, fftsize, nb, magscalar_bits, bit_begin, n_bits,
+     req_data, req_sync, use_f64, frame_nsamples, overscan,
+     expect_nsamples) = cfg_key
+
+    geo = DemodGeometry(
+        nb=nb, fftsize=fftsize, b_mark=b_mark, b_space=b_space,
+        magscalar=float(np.uint32(magscalar_bits).view(np.float32)),
+        bit_begin=bit_begin, n_bits=n_bits, req_data=req_data,
+        req_sync=req_sync, use_f64=use_f64)
+
+    basis_np = make_basis(geo, np.float64 if use_f64 else np.float32)
+    eps = np.float32(np.finfo(np.float32).eps)
+    dtype = jnp.float64 if use_f64 else jnp.float32
+    s_len = t_total + geo.max_begin
+    use_fft = nb > _DIRECT_CONV_MAX_NB
+
+    # ---- static search geometry (reference: src/minimodem.c:1236-1251) ----
+    data_rate_f = np.uint32(data_rate_bits).view(np.float32)
+    nspb = np.float32(np.float32(sample_rate) / data_rate_f)
+    geom = {}
+    for carrier in (0, 1):
+        if carrier:
+            try_max = int(np.trunc(np.float32(
+                nspb * np.float32(0.75)) + np.float32(0.5))) + overscan
+            try_first = overscan
+        else:
+            try_max = int(np.trunc(nspb)) + overscan
+            try_first = 0
+        coarse = max(try_max // FSK_ANALYZE_NSTEPS, 1)
+        fine = max(try_max // FSK_ANALYZE_NSTEPS_FINE, 1)
+        geom[carrier] = dict(
+            try_max=try_max,
+            coarse_step=coarse,
+            coarse=_scan_order(try_first, try_max, coarse),
+            fine=_scan_order(try_first, try_max, fine),
+        )
+
+    # pad candidate lists into one [geo_carrier, fine?, K] static array
+    K = max(len(g[k]) for g in geom.values() for k in ("coarse", "fine"))
+    cand_np = np.full((2, 2, K), -1, np.int32)
+    for carrier in (0, 1):
+        cand_np[carrier, 0, :len(geom[carrier]["coarse"])] = geom[carrier]["coarse"]
+        cand_np[carrier, 1, :len(geom[carrier]["fine"])] = geom[carrier]["fine"]
+
+    min_advance = max(1, min(frame_nsamples - overscan,
+                             geom[0]["try_max"], geom[1]["try_max"]))
+    max_events = t_total // min_advance + 16
+
+    # ------------------------------------------------------------------
+    def score_arrays(x):
+        """stages 1+2 -> conf/ampl stacked [2, T] (0=data expect, 1=sync
+        expect) + frame bit words [T]."""
+        xd = x.astype(dtype)
+        basis = jnp.asarray(basis_np)
+        if use_fft:
+            corr = _correlate_fft(xd, basis, s_len)
+        else:
+            corr = _correlate_direct(xd, basis, s_len)
+        scal = jnp.asarray(geo.magscalar, dtype)
+        mag_mark = (jnp.hypot(corr[0], corr[1]) * scal).astype(jnp.float32)
+        mag_space = (jnp.hypot(corr[2], corr[3]) * scal).astype(jnp.float32)
+        bit = mag_mark > mag_space                    # fsk.c:161 strict
+        sig = jnp.where(bit, mag_mark, mag_space)
+        noise = jnp.where(bit, mag_space, mag_mark)
+        noise_g = jnp.where(noise > eps, noise, jnp.float32(0.0))
+
+        def sl(arr, b):
+            return jax.lax.dynamic_slice_in_dim(
+                arr, int(geo.bit_begin[b]), t_total)
+
+        bits_f = jnp.stack([sl(bit, b) for b in range(n_bits)])
+        sigs = jnp.stack([sl(sig, b) for b in range(n_bits)])
+        noises = jnp.stack([sl(noise_g, b) for b in range(n_bits)])
+
+        bits_i = bits_f.astype(jnp.uint32)
+        total_sig = jnp.sum(sigs, axis=0)
+        total_noise = jnp.sum(noises, axis=0)
+        n_mark = jnp.sum(bits_i, axis=0).astype(jnp.float32)
+        n_space = jnp.float32(n_bits) - n_mark
+        mark_sig = jnp.sum(jnp.where(bits_f, sigs, 0.0), axis=0)
+        space_sig = total_sig - mark_sig
+        avg_mark = jnp.where(n_mark > 0, mark_sig / n_mark, jnp.float32(0.0))
+        avg_space = jnp.where(n_space > 0, space_sig / n_space,
+                              jnp.float32(0.0))
+        avg_own = jnp.where(bits_f, avg_mark[None, :], avg_space[None, :])
+        divergence = jnp.sum(jnp.abs(sigs - avg_own) / avg_own, axis=0)
+        divergence = divergence * jnp.float32(2.0) / jnp.float32(n_bits)
+        snr = total_sig / total_noise          # IEEE: x/0=inf, 0/0=nan
+        conf = snr * (jnp.float32(1.0) - divergence)
+        ampl = total_sig / jnp.float32(n_bits)
+
+        def mask_for(req):
+            ok = jnp.ones((t_total,), bool)
+            for b in range(n_bits):
+                if req[b] >= 0:
+                    ok = ok & (bits_f[b] == bool(req[b]))
+            return ok
+
+        zero = jnp.float32(0.0)
+        ok_data = mask_for(req_data)
+        ok_sync = mask_for(req_sync)
+        conf2 = jnp.stack([jnp.where(ok_data, conf, zero),
+                           jnp.where(ok_sync, conf, zero)])
+        ampl2 = jnp.stack([jnp.where(ok_data, ampl, zero),
+                           jnp.where(ok_sync, ampl, zero)])
+        w_lo = jnp.asarray(
+            [np.uint32(1 << b) if b < 32 else np.uint32(0)
+             for b in range(n_bits)], jnp.uint32)
+        w_hi = jnp.asarray(
+            [np.uint32(1 << (b - 32)) if b >= 32 else np.uint32(0)
+             for b in range(n_bits)], jnp.uint32)
+        bits_lo = jnp.sum(bits_i * w_lo[:, None], axis=0, dtype=jnp.uint32)
+        bits_hi = jnp.sum(bits_i * w_hi[:, None], axis=0, dtype=jnp.uint32)
+        return conf2, ampl2, bits_lo, bits_hi
+
+    # ------------------------------------------------------------------
+    def receiver(x, total_scalar, conf_threshold, conf_search_limit):
+        """x: [t_total + halo] f32 (zero-padded past end-of-stream);
+        total_scalar: i32 actual stream length.  Returns
+        (ev_type [E] i32, ev_pay [E, 6] u32, n_events i32)."""
+        conf2, ampl2, bits_lo, bits_hi = score_arrays(x)
+        cands = jnp.asarray(cand_np)
+
+        def find_frame(pos, geo_i, expect_i, fine_i, limit):
+            """Replay fsk_find_frame's ordered scan with early exit.
+            geo_i selects the scan-window geometry (carrier state at scan
+            setup); expect_i selects the expect pattern (0=data, 1=sync)."""
+            clist = cands[geo_i, fine_i]
+
+            def kbody(k, stt):
+                best_c, best_a, best_blo, best_bhi, best_t, done = stt
+                t = clist[k]
+                valid = jnp.logical_and(t >= 0, jnp.logical_not(done))
+                idx = pos + jnp.maximum(t, 0)
+                c = conf2[expect_i, idx]
+                a = ampl2[expect_i, idx]
+                better = jnp.logical_and(valid, best_c < c)
+                best_c = jnp.where(better, c, best_c)
+                best_a = jnp.where(better, a, best_a)
+                best_blo = jnp.where(better, bits_lo[idx], best_blo)
+                best_bhi = jnp.where(better, bits_hi[idx], best_bhi)
+                best_t = jnp.where(better, t, best_t)
+                done = jnp.logical_or(
+                    done, jnp.logical_and(better, best_c >= limit))
+                return (best_c, best_a, best_blo, best_bhi, best_t, done)
+
+            init = (jnp.float32(0.0), jnp.float32(0.0), jnp.uint32(0),
+                    jnp.uint32(0), jnp.int32(0), jnp.bool_(False))
+            out = jax.lax.fori_loop(0, K, kbody, init)
+            return out[:5]
+
+        try_max_arr = jnp.asarray(
+            [geom[0]["try_max"], geom[1]["try_max"]], jnp.int32)
+        coarse_step_arr = jnp.asarray(
+            [geom[0]["coarse_step"], geom[1]["coarse_step"]], jnp.int32)
+
+        state0 = dict(
+            pos=jnp.int32(0),
+            carrier=jnp.bool_(False),
+            noconfidence=jnp.int32(0),
+            track_amplitude=jnp.float32(0.0),
+            peak_confidence=jnp.float32(0.0),
+            conf_total=jnp.float32(0.0),
+            ampl_total=jnp.float32(0.0),
+            nframes=jnp.int32(0),
+            carrier_nsamples=jnp.int32(0),
+            n_events=jnp.int32(0),
+            stop=jnp.bool_(False),
+            ev_type=jnp.zeros((max_events,), jnp.int32),
+            ev_pay=jnp.zeros((max_events, 6), jnp.uint32),
+        )
+
+        def emit_if(pred, st, etype, payload6):
+            # O(1) conditional append: blend the new row with the existing
+            # row at slot i, then write that one row back unconditionally.
+            i = st["n_events"]
+            st = dict(st)
+            old_t = st["ev_type"][i]
+            old_p = jax.lax.dynamic_slice(st["ev_pay"], (i, jnp.int32(0)),
+                                          (1, 6))
+            new_t = jnp.where(pred, etype, old_t)
+            new_p = jnp.where(pred, payload6[None, :], old_p)
+            st["ev_type"] = st["ev_type"].at[i].set(new_t)
+            st["ev_pay"] = jax.lax.dynamic_update_slice(
+                st["ev_pay"], new_p, (i, jnp.int32(0)))
+            st["n_events"] = i + jnp.where(pred, jnp.int32(1), jnp.int32(0))
+            return st
+
+        def cond(st):
+            return jnp.logical_and(
+                jnp.logical_not(st["stop"]),
+                jnp.logical_and(
+                    st["pos"] + expect_nsamples <= total_scalar,
+                    st["n_events"] < max_events - 2))
+
+        def body(st):
+            pos = st["pos"]
+            carrier = st["carrier"]
+            geo_i = carrier.astype(jnp.int32)
+            expect_i = 1 - geo_i                 # carrier->data(0) else sync(1)
+            try_step = coarse_step_arr[geo_i]
+            try_max = try_max_arr[geo_i]
+
+            conf, ampl, blo, bhi, fstart = find_frame(
+                pos, geo_i, expect_i, jnp.int32(0), conf_search_limit)
+
+            refine = conf < st["peak_confidence"] * jnp.float32(0.75)
+            peak_confidence = jnp.where(
+                refine, jnp.float32(0.0), st["peak_confidence"])
+            ampl_drop = ampl < st["track_amplitude"] * jnp.float32(0.25)
+            conf = jnp.where(ampl_drop, jnp.float32(0.0), conf)
+
+            no_conf = conf <= conf_threshold
+            got = jnp.logical_not(no_conf)
+
+            # ---- no-confidence path (reference: :1292-1321) ----
+            noconfidence = jnp.where(no_conf, st["noconfidence"] + 1,
+                                     jnp.int32(0))
+            drop = jnp.logical_and(
+                no_conf, noconfidence > FSK_MAX_NOCONFIDENCE_BITS)
+            drop_report = jnp.logical_and(drop, carrier)
+
+            # ---- frame path ----
+            acquired = jnp.logical_and(got, jnp.logical_not(carrier))
+            do_refine = jnp.logical_or(refine, acquired)
+            # fine rescan: same scan window (geo_i), data expect (carrier is
+            # now logically on), limit=inf (reference: :1357-1389)
+            do_fine = jnp.logical_and(
+                got,
+                jnp.logical_and(
+                    do_refine,
+                    jnp.logical_and(conf < jnp.float32(np.inf),
+                                    try_step > 1)))
+            c2, a2, blo2, bhi2, fs2 = find_frame(
+                pos, geo_i, jnp.int32(0), jnp.int32(1), jnp.float32(np.inf))
+            take2 = jnp.logical_and(do_fine, c2 > conf)
+            # NB: confidence itself is NOT updated (reference: :1383-1387)
+            ampl = jnp.where(take2, a2, ampl)
+            blo = jnp.where(take2, blo2, blo)
+            bhi = jnp.where(take2, bhi2, bhi)
+            fstart = jnp.where(take2, fs2, fstart)
+
+            # stats + tracking (frame path only)
+            carrier_nsamples = st["carrier_nsamples"] + jnp.where(
+                got,
+                jnp.int32(frame_nsamples)
+                + jnp.where(carrier, fstart - overscan, 0),
+                0)
+            track_amplitude = jnp.where(
+                got, (st["track_amplitude"] + ampl) / jnp.float32(2.0),
+                st["track_amplitude"])
+            peak_confidence = jnp.where(
+                jnp.logical_and(got, peak_confidence < conf),
+                conf, peak_confidence)
+            conf_total = jnp.where(got, st["conf_total"] + conf,
+                                   st["conf_total"])
+            ampl_total = jnp.where(got, st["ampl_total"] + ampl,
+                                   st["ampl_total"])
+            nframes = jnp.where(got, st["nframes"] + 1, st["nframes"])
+
+            advance = jnp.where(
+                got, fstart + jnp.int32(frame_nsamples) - overscan, try_max)
+
+            # ---- events (order: drop-report, acquire, frame) ----
+            st2 = st
+            drop_pay = jnp.stack([
+                st["nframes"].view(jnp.uint32),
+                st["conf_total"].view(jnp.uint32),
+                st["ampl_total"].view(jnp.uint32),
+                st["carrier_nsamples"].view(jnp.uint32),
+                jnp.uint32(0), jnp.uint32(0)])
+            st2 = emit_if(drop_report, st2, jnp.int32(EV_NOCARRIER), drop_pay)
+            st2 = emit_if(acquired, st2, jnp.int32(EV_CARRIER),
+                          jnp.zeros((6,), jnp.uint32))
+            frame_pay = jnp.stack([
+                blo, bhi, conf.view(jnp.uint32), ampl.view(jnp.uint32),
+                fstart.view(jnp.uint32), jnp.uint32(0)])
+            st2 = emit_if(got, st2, jnp.int32(EV_FRAME), frame_pay)
+
+            # ---- state update ----
+            reset_stats = drop_report
+            st2["pos"] = pos + advance
+            st2["carrier"] = jnp.where(got, True,
+                                       jnp.where(drop, False, carrier))
+            st2["noconfidence"] = noconfidence
+            st2["track_amplitude"] = jnp.where(
+                reset_stats, jnp.float32(0.0), track_amplitude)
+            st2["peak_confidence"] = peak_confidence
+            st2["conf_total"] = jnp.where(
+                reset_stats, jnp.float32(0.0), conf_total)
+            st2["ampl_total"] = jnp.where(
+                reset_stats, jnp.float32(0.0), ampl_total)
+            st2["nframes"] = jnp.where(reset_stats, jnp.int32(0), nframes)
+            st2["carrier_nsamples"] = jnp.where(
+                reset_stats, jnp.int32(0), carrier_nsamples)
+            if rx_one:
+                st2["stop"] = jnp.logical_or(st["stop"], drop_report)
+            return st2
+
+        st = jax.lax.while_loop(cond, body, state0)
+
+        # end-of-stream: final NOCARRIER stats if still on carrier
+        final_pay = jnp.stack([
+            st["nframes"].view(jnp.uint32),
+            st["conf_total"].view(jnp.uint32),
+            st["ampl_total"].view(jnp.uint32),
+            st["carrier_nsamples"].view(jnp.uint32),
+            jnp.uint32(0), jnp.uint32(0)])
+        st = emit_if(st["carrier"], st, jnp.int32(EV_NOCARRIER), final_pay)
+
+        return st["ev_type"], st["ev_pay"], st["n_events"]
+
+    return jax.jit(receiver), max_events, geo
+
+
+def _round_up_pow2(n: int, floor: int = 1 << 14) -> int:
+    v = floor
+    while v < n:
+        v *= 2
+    return v
+
+
+class DeviceReceiver:
+    """Host wrapper: pads the stream, runs the compiled device receiver,
+    returns the event list."""
+
+    def __init__(self, cfg: ModemConfig, precision: str = "auto",
+                 rx_one: bool = False):
+        self.cfg = cfg
+        self.key = device_rx_key(cfg, precision)
+        self.rx_one = rx_one
+
+    def run_events(self, samples: np.ndarray, conf_threshold: float,
+                   conf_search_limit: float):
+        total = len(samples)
+        geo = geometry_from_config(self.cfg)
+        t_total = _round_up_pow2(total + self.cfg.nsamples_overscan + 1)
+        fn, max_events, _ = _build_device_rx(self.key, t_total, self.rx_one)
+        x = np.zeros(t_total + geo.halo, np.float32)
+        x[:total] = samples
+        ev_type, ev_pay, n = fn(
+            jnp.asarray(x), np.int32(total),
+            np.float32(conf_threshold), np.float32(conf_search_limit))
+        n = int(n)
+        return np.asarray(ev_type[:n]), np.asarray(ev_pay[:n])

@@ -141,7 +141,84 @@ class Receiver:
         self.stats = None  # filled per NOCARRIER report (for tests)
 
     # ------------------------------------------------------------------
-    def run(self, samples: np.ndarray, provider: Optional[ScoreProvider] = None) -> int:
+    def run(self, samples: np.ndarray,
+            provider: Optional[ScoreProvider] = None,
+            engine: str = "auto") -> int:
+        """Decode a sample stream.
+
+        engine: "device" = fully TPU-resident state machine (fast path),
+        "host" = chunked scoring + python state machine (reference replay,
+        required for carrier autodetect), "auto" = device unless a
+        host-only feature is active.
+        """
+        if engine == "auto":
+            engine = ("host" if self.opts.carrier_autodetect_threshold > 0.0
+                      else "device")
+        if engine == "device":
+            return self._run_device(samples)
+        return self._run_host(samples, provider)
+
+    # ------------------------------------------------------------------
+    def _run_device(self, samples: np.ndarray) -> int:
+        """Event-stream path: ops/device_rx.py runs the whole pipeline on
+        device; this loop only renders events (codecs + protocol lines)."""
+        from ..ops.demod import geometry_from_config
+        from ..ops.device_rx import (
+            EV_CARRIER,
+            EV_FRAME,
+            EV_NOCARRIER,
+            DeviceReceiver,
+        )
+
+        cfg = self.cfg
+        opts = self.opts
+        rxer = DeviceReceiver(cfg, opts.precision, opts.rx_one)
+        ev_type, ev_pay = rxer.run_events(
+            np.ascontiguousarray(samples, np.float32),
+            opts.confidence_threshold, opts.confidence_search_limit)
+
+        for k in range(len(ev_type)):
+            et = int(ev_type[k])
+            pay = ev_pay[k]
+            if et == EV_CARRIER:
+                if not opts.quiet:
+                    freq = float(f32_mul(cfg.b_mark, cfg.band_width))
+                    if float(cfg.data_rate) >= 100:
+                        self.write_err("### CARRIER %u @ %.1f Hz ###\n"
+                                       % (round_half_up_i(cfg.data_rate), freq))
+                    else:
+                        self.write_err("### CARRIER %.2f @ %.1f Hz ###\n"
+                                       % (float(cfg.data_rate), freq))
+                self.codec.reset()
+            elif et == EV_FRAME:
+                bits = int(pay[0]) | (int(pay[1]) << 32)
+                if float(cfg.nstopbits) != 0.0:
+                    bits >>= 1
+                bits = bit_window(bits, cfg.nstartbits, cfg.n_data_bits)
+                if cfg.msb_first:
+                    bits = bit_reverse(bits, cfg.n_data_bits)
+                if cfg.do_rx_sync and bits == cfg.sync_byte:
+                    continue
+                data = self.codec.decode(bits, cfg.n_data_bits)
+                if not data:
+                    continue
+                if opts.print_filter:
+                    data = bytes(
+                        b if (32 <= b < 127 or b in (9, 10, 11, 12, 13, 32))
+                        else ord(".") for b in data)
+                self.write_out(data)
+            elif et == EV_NOCARRIER:
+                if not opts.quiet:
+                    self._report_no_carrier(
+                        int(pay[0]),
+                        int(pay[3]),
+                        pay[1].view(np.float32),
+                        pay[2].view(np.float32))
+        return 0
+
+    # ------------------------------------------------------------------
+    def _run_host(self, samples: np.ndarray,
+                  provider: Optional[ScoreProvider] = None) -> int:
         cfg = self.cfg
         opts = self.opts
         if provider is None:
