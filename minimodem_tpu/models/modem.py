@@ -60,9 +60,10 @@ class FskModem:
         """Decode FSK audio samples to bytes."""
         from ..rx.engine import Receiver
 
-        if samples.dtype == np.int16:
-            samples = (samples.astype(np.float32) / np.float32(32768.0))
-        samples = np.asarray(samples, np.float32)
+        # int16 passes through raw: the device receiver normalizes on-chip
+        # (halves the host->device transfer)
+        if samples.dtype != np.int16:
+            samples = np.asarray(samples, np.float32)
 
         codec = get_codec(self.preset.decoder)
         sink = io.BytesIO()

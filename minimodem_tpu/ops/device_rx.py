@@ -87,9 +87,15 @@ def device_rx_key(cfg: ModemConfig, precision: str = "auto"):
 
 
 @functools.lru_cache(maxsize=32)
-def _build_device_rx(cfg_key, t_total: int, rx_one: bool):
+def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
+                     input_dtype: str = "float32"):
     """Compile the full device receiver for a fixed scored length
-    t_total (>= stream length in samples)."""
+    t_total (>= stream length in samples).
+
+    input_dtype "int16" accepts raw PCM16 samples and normalizes them on
+    device (x/32768, the libsndfile convention the reference relies on,
+    reference: sf_readf_float in src/simpleaudio-sndfile.c:49) — halving
+    the host->device transfer for S16 sources."""
     (sample_rate, data_rate_bits, n_data_bits, nstartbits, nstopbits_bits,
      b_mark, b_space, fftsize, nb, magscalar_bits, bit_begin, n_bits,
      req_data, req_sync, use_f64, frame_nsamples, overscan,
@@ -143,6 +149,8 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool):
     def score_arrays(x):
         """stages 1+2 -> conf/ampl stacked [2, T] (0=data expect, 1=sync
         expect) + frame bit words [T]."""
+        if input_dtype == "int16":
+            x = x.astype(jnp.float32) / jnp.float32(32768.0)
         xd = x.astype(dtype)
         basis = jnp.asarray(basis_np)
         if use_fft:
@@ -214,33 +222,43 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool):
         conf2, ampl2, bits_lo, bits_hi = score_arrays(x)
         cands = jnp.asarray(cand_np)
 
+        kiota = jnp.arange(K, dtype=jnp.int32)
+
         def find_frame(pos, geo_i, expect_i, fine_i, limit):
-            """Replay fsk_find_frame's ordered scan with early exit.
+            """Replay fsk_find_frame's ordered scan with early exit
+            (reference: src/fsk.c:477-502), vectorized.
+
+            The sequential semantics — strict improvement, earlier
+            candidate wins ties, stop at the first running-max >= limit —
+            are reproduced with a prefix-max + first-crossing argmax.
             geo_i selects the scan-window geometry (carrier state at scan
             setup); expect_i selects the expect pattern (0=data, 1=sync)."""
-            clist = cands[geo_i, fine_i]
-
-            def kbody(k, stt):
-                best_c, best_a, best_blo, best_bhi, best_t, done = stt
-                t = clist[k]
-                valid = jnp.logical_and(t >= 0, jnp.logical_not(done))
-                idx = pos + jnp.maximum(t, 0)
-                c = conf2[expect_i, idx]
-                a = ampl2[expect_i, idx]
-                better = jnp.logical_and(valid, best_c < c)
-                best_c = jnp.where(better, c, best_c)
-                best_a = jnp.where(better, a, best_a)
-                best_blo = jnp.where(better, bits_lo[idx], best_blo)
-                best_bhi = jnp.where(better, bits_hi[idx], best_bhi)
-                best_t = jnp.where(better, t, best_t)
-                done = jnp.logical_or(
-                    done, jnp.logical_and(better, best_c >= limit))
-                return (best_c, best_a, best_blo, best_bhi, best_t, done)
-
-            init = (jnp.float32(0.0), jnp.float32(0.0), jnp.uint32(0),
-                    jnp.uint32(0), jnp.int32(0), jnp.bool_(False))
-            out = jax.lax.fori_loop(0, K, kbody, init)
-            return out[:5]
+            clist = cands[geo_i, fine_i]                       # [K] i32
+            idx = pos + jnp.maximum(clist, 0)
+            c = conf2[expect_i, idx]                           # [K] f32
+            invalid = clist < 0
+            # NaN confidences are never selected sequentially (best < NaN is
+            # false); sentinel them to -1 so vector max ignores them too
+            c = jnp.where(jnp.logical_or(invalid, jnp.isnan(c)),
+                          jnp.float32(-1.0), c)
+            prefix_max = jax.lax.associative_scan(jnp.maximum, c)
+            crossed = prefix_max >= limit
+            any_cross = jnp.any(crossed)
+            k_stop = jnp.where(any_cross,
+                               jnp.argmax(crossed).astype(jnp.int32),
+                               jnp.int32(K - 1))
+            best_c = prefix_max[k_stop]
+            # first index attaining best_c (<= k_stop by construction)
+            sel = jnp.argmax(c == best_c).astype(jnp.int32)
+            got = best_c > jnp.float32(0.0)
+            t = jnp.where(got, clist[sel], jnp.int32(0))
+            sidx = pos + jnp.maximum(t, 0)
+            zero_f = jnp.float32(0.0)
+            conf = jnp.where(got, best_c, zero_f)
+            a = jnp.where(got, ampl2[expect_i, sidx], zero_f)
+            blo = jnp.where(got, bits_lo[sidx], jnp.uint32(0))
+            bhi = jnp.where(got, bits_hi[sidx], jnp.uint32(0))
+            return conf, a, blo, bhi, t
 
         try_max_arr = jnp.asarray(
             [geom[0]["try_max"], geom[1]["try_max"]], jnp.int32)
@@ -413,6 +431,72 @@ def _round_up_pow2(n: int, floor: int = 1 << 14) -> int:
     return v
 
 
+class DeviceLoopback:
+    """On-device TX->RX pipeline: a compact bit schedule goes up, decoded
+    frame events come back; audio never crosses the host link.
+
+    This is the pure decode-throughput configuration (and a building block
+    for on-TPU modem pipelines where audio originates on device)."""
+
+    def __init__(self, cfg: ModemConfig, precision: str = "auto",
+                 amplitude: float = 1.0, rx_one: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        from .tx_device import device_synthesize, uniform_bits_supported
+
+        assert uniform_bits_supported(cfg), (
+            "loopback needs uniform bit segments (integer start/stop bits)")
+        self.cfg = cfg
+        self.key = device_rx_key(cfg, precision)
+        self.bit_ns = cfg.bit_nsamples_tx
+        self._fns = {}
+        self._amplitude = amplitude
+        self._rx_one = rx_one
+        self._geo = geometry_from_config(cfg, precision)
+
+    def _fn_for(self, b_pad: int):
+        import jax
+        import jax.numpy as jnp
+
+        from .tx_device import device_synthesize
+
+        fn = self._fns.get(b_pad)
+        if fn is not None:
+            return fn
+        cfg = self.cfg
+        t_total = _round_up_pow2(
+            b_pad * self.bit_ns + cfg.nsamples_overscan + 1)
+        rx_fn, _, geo = _build_device_rx(self.key, t_total, self._rx_one)
+        pad_to = t_total + geo.halo
+        amp = self._amplitude
+
+        def loop(bits, total, thr, lim):
+            s = device_synthesize(bits, cfg, amp)
+            x = jnp.zeros((pad_to,), jnp.float32)
+            x = jax.lax.dynamic_update_slice(x, s, (0,))
+            return rx_fn(x, total, thr, lim)
+
+        fn = jax.jit(loop)
+        self._fns[b_pad] = fn
+        return fn
+
+    def run_events(self, sched_bits: np.ndarray, conf_threshold: float = 1.5,
+                   conf_search_limit: float = 2.3):
+        import jax.numpy as jnp
+
+        b_real = len(sched_bits)
+        b_pad = _round_up_pow2(b_real, 1 << 10)
+        bits = np.zeros(b_pad, np.uint8)
+        bits[:b_real] = sched_bits
+        fn = self._fn_for(b_pad)
+        ev_type, ev_pay, n = fn(
+            jnp.asarray(bits), np.int32(b_real * self.bit_ns),
+            np.float32(conf_threshold), np.float32(conf_search_limit))
+        n = int(n)
+        return np.asarray(ev_type[:n]), np.asarray(ev_pay[:n])
+
+
 class DeviceReceiver:
     """Host wrapper: pads the stream, runs the compiled device receiver,
     returns the event list."""
@@ -428,8 +512,10 @@ class DeviceReceiver:
         total = len(samples)
         geo = geometry_from_config(self.cfg)
         t_total = _round_up_pow2(total + self.cfg.nsamples_overscan + 1)
-        fn, max_events, _ = _build_device_rx(self.key, t_total, self.rx_one)
-        x = np.zeros(t_total + geo.halo, np.float32)
+        in_dtype = "int16" if samples.dtype == np.int16 else "float32"
+        fn, max_events, _ = _build_device_rx(
+            self.key, t_total, self.rx_one, in_dtype)
+        x = np.zeros(t_total + geo.halo, samples.dtype)
         x[:total] = samples
         ev_type, ev_pay, n = fn(
             jnp.asarray(x), np.int32(total),

@@ -148,7 +148,8 @@ class Receiver:
 
         engine: "device" = fully TPU-resident state machine (fast path),
         "host" = chunked scoring + python state machine (reference replay,
-        required for carrier autodetect), "auto" = device unless a
+        required for carrier autodetect), "host-native" = chunked scoring +
+        the C++ state machine (native/hostrx.cpp), "auto" = device unless a
         host-only feature is active.
         """
         if engine == "auto":
@@ -156,27 +157,97 @@ class Receiver:
                       else "device")
         if engine == "device":
             return self._run_device(samples)
+        if samples.dtype == np.int16:
+            samples = samples.astype(np.float32) / np.float32(32768.0)
+        if engine == "host-native":
+            return self._run_host_native(samples)
         return self._run_host(samples, provider)
 
     # ------------------------------------------------------------------
     def _run_device(self, samples: np.ndarray) -> int:
         """Event-stream path: ops/device_rx.py runs the whole pipeline on
         device; this loop only renders events (codecs + protocol lines)."""
-        from ..ops.demod import geometry_from_config
-        from ..ops.device_rx import (
-            EV_CARRIER,
-            EV_FRAME,
-            EV_NOCARRIER,
-            DeviceReceiver,
-        )
+        from ..ops.device_rx import DeviceReceiver
+
+        opts = self.opts
+        rxer = DeviceReceiver(self.cfg, opts.precision, opts.rx_one)
+        dtype = np.int16 if samples.dtype == np.int16 else np.float32
+        ev_type, ev_pay = rxer.run_events(
+            np.ascontiguousarray(samples, dtype),
+            opts.confidence_threshold, opts.confidence_search_limit)
+        return self.render_events(ev_type, ev_pay)
+
+    # ------------------------------------------------------------------
+    def _run_host_native(self, samples: np.ndarray) -> int:
+        """C++ state machine (native/hostrx.cpp) over full-stream score
+        arrays computed by the batched scorer."""
+        from .. import native
+        from ..ops.demod import DemodScorer
+
+        lib = native.load()
+        if lib is None:
+            return self._run_host(samples)
 
         cfg = self.cfg
         opts = self.opts
-        rxer = DeviceReceiver(cfg, opts.precision, opts.rx_one)
-        ev_type, ev_pay = rxer.run_events(
-            np.ascontiguousarray(samples, np.float32),
-            opts.confidence_threshold, opts.confidence_search_limit)
+        sc = DemodScorer(cfg, opts.precision)
+        total = len(samples)
+        t_scored = max(total, 1)
+        parts = {k: [] for k in ("conf_data", "conf_sync", "ampl_data",
+                                 "ampl_sync", "bits_lo", "bits_hi")}
+        c0 = 0
+        while c0 < t_scored:
+            out = sc.score(samples[c0:c0 + sc.chunk_len + sc.geo.halo])
+            for k in parts:
+                parts[k].append(out[k])
+            c0 += sc.chunk_len
+        arrs = {k: np.ascontiguousarray(np.concatenate(v)[:t_scored])
+                for k, v in parts.items()}
 
+        from ..ops.device_rx import _scan_order  # noqa: F401 (geometry dup)
+        nspb = cfg.nsamples_per_bit
+        try_max_c = round_half_up_i(f32_mul(nspb, 0.75)) + cfg.nsamples_overscan
+        try_max_n = trunc_i(nspb) + cfg.nsamples_overscan
+
+        rc = native.MmRxConfig(
+            total=total,
+            t_scored=t_scored,
+            expect_nsamples=cfg.expect_nsamples,
+            frame_nsamples=cfg.frame_nsamples,
+            overscan=cfg.nsamples_overscan,
+            try_max_carrier=try_max_c,
+            try_max_nocarrier=try_max_n,
+            rx_one=int(opts.rx_one),
+            conf_threshold=np.float32(opts.confidence_threshold),
+            conf_search_limit=np.float32(opts.confidence_search_limit),
+        )
+        min_adv = max(1, min(cfg.frame_nsamples - cfg.nsamples_overscan,
+                             try_max_c, try_max_n))
+        max_events = t_scored // min_adv + 16
+        ev_type = np.zeros(max_events, np.int32)
+        ev_pay = np.zeros((max_events, 6), np.uint32)
+        import ctypes
+
+        def ptr(a):
+            return a.ctypes.data_as(ctypes.c_void_p)
+
+        n = lib.mm_hostrx_run(
+            ctypes.byref(rc),
+            ptr(arrs["conf_data"]), ptr(arrs["conf_sync"]),
+            ptr(arrs["ampl_data"]), ptr(arrs["ampl_sync"]),
+            ptr(arrs["bits_lo"]), ptr(arrs["bits_hi"]),
+            ptr(ev_type), ptr(ev_pay), max_events)
+        if n < 0:
+            raise RuntimeError("hostrx event buffer overflow")
+        return self.render_events(ev_type[:n], ev_pay[:n])
+
+    # ------------------------------------------------------------------
+    def render_events(self, ev_type, ev_pay) -> int:
+        """Render an RX event stream: codec bytes + protocol lines."""
+        from ..ops.device_rx import EV_CARRIER, EV_FRAME, EV_NOCARRIER
+
+        cfg = self.cfg
+        opts = self.opts
         for k in range(len(ev_type)):
             et = int(ev_type[k])
             pay = ev_pay[k]
