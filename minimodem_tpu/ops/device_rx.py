@@ -334,6 +334,10 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
             # ---- frame path ----
             acquired = jnp.logical_and(got, jnp.logical_not(carrier))
             do_refine = jnp.logical_or(refine, acquired)
+            # carrier_nsamples accounting uses the COARSE frame start — the
+            # reference adjusts it before the fine rescan
+            # (src/minimodem.c:1324-1330 precedes :1357-1389)
+            fstart_coarse = fstart
             # fine rescan: same scan window (geo_i), data expect (carrier is
             # now logically on), limit=inf (reference: :1357-1389)
             do_fine = jnp.logical_and(
@@ -355,7 +359,7 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
             carrier_nsamples = st["carrier_nsamples"] + jnp.where(
                 got,
                 jnp.int32(frame_nsamples)
-                + jnp.where(carrier, fstart - overscan, 0),
+                + jnp.where(carrier, fstart_coarse - overscan, 0),
                 0)
             track_amplitude = jnp.where(
                 got, (st["track_amplitude"] + ampl) / jnp.float32(2.0),
