@@ -67,24 +67,30 @@ def run_tx_benchmarks(duration_sec: int = 10,
         stream.close()
 
 
+def _bench_payload(cfg, audio_seconds: float) -> bytes:
+    rate = float(cfg.data_rate)
+    nbytes = max(16, int(audio_seconds * rate / cfg.frame_n_bits))
+    return bytes((33 + (i % 94)) for i in range(nbytes))
+
+
 def decode_throughput(mode: str = "1200", audio_seconds: float = 60.0,
                       sample_rate: int = 48000, warmup: bool = True,
-                      precision: str = "auto") -> dict:
-    """Measure RX decode throughput as a real-time factor
-    (audio-seconds decoded per wall-clock second)."""
+                      precision: str = "auto", s16: bool = True) -> dict:
+    """End-to-end RX decode throughput (host audio -> decoded bytes) as a
+    real-time factor (audio-seconds decoded per wall-clock second)."""
+    import numpy as np
+
     from .models.modem import FskModem
 
     m = FskModem(mode, sample_rate=sample_rate, precision=precision)
-    # build a message long enough to fill audio_seconds
-    rate = float(m.cfg.data_rate)
-    bits_per_byte = m.cfg.frame_n_bits
-    nbytes = max(16, int(audio_seconds * rate / bits_per_byte))
-    payload = bytes((33 + (i % 94)) for i in range(nbytes))
+    payload = _bench_payload(m.cfg, audio_seconds)
     samples = m.modulate(payload)
+    if s16:
+        samples = np.clip(samples * 32768.0, -32768, 32767).astype(np.int16)
     audio_sec = len(samples) / sample_rate
 
     if warmup:
-        m.demodulate(samples[: sample_rate])  # compile
+        m.demodulate(samples)  # compile
 
     t0 = time.perf_counter()
     out = m.demodulate(samples)
@@ -99,4 +105,44 @@ def decode_throughput(mode: str = "1200", audio_seconds: float = 60.0,
         "decode_exact": bool(ok),
         "decoded_bytes": len(out),
         "expected_bytes": len(payload),
+    }
+
+
+def loopback_throughput(mode: str = "1200", audio_seconds: float = 60.0,
+                        sample_rate: int = 48000,
+                        precision: str = "auto") -> dict:
+    """Pure on-device decode throughput: the TX bit schedule is synthesized
+    and decoded on device; only frame events cross the host link."""
+    import io
+
+    from .codecs import Ascii8Codec, get_codec
+    from .config import RxOptions
+    from .models.modem import FskModem
+    from .ops.device_rx import DeviceLoopback
+    from .ops.tx_device import tx_bit_schedule
+    from .rx.engine import Receiver
+
+    m = FskModem(mode, sample_rate=sample_rate, precision=precision)
+    payload = _bench_payload(m.cfg, audio_seconds)
+    sched = tx_bit_schedule(payload, m.cfg, Ascii8Codec())
+    audio_sec = len(sched) * m.cfg.bit_nsamples_tx / sample_rate
+
+    lb = DeviceLoopback(m.cfg, precision)
+    ev_t, ev_p = lb.run_events(sched)  # compile + correctness
+    sink = io.BytesIO()
+    rx = Receiver(m.cfg, RxOptions(), get_codec("ascii8"),
+                  sink.write, lambda s: None)
+    rx.render_events(ev_t, ev_p)
+    ok = sink.getvalue() == payload
+
+    t0 = time.perf_counter()
+    ev_t, ev_p = lb.run_events(sched)
+    dt = time.perf_counter() - t0
+
+    return {
+        "mode": mode,
+        "audio_seconds": audio_sec,
+        "wall_seconds": dt,
+        "real_time_factor": audio_sec / dt,
+        "decode_exact": bool(ok),
     }

@@ -1,0 +1,182 @@
+"""Flag-surface feature tests beyond the reference's shipped suite:
+carrier autodetect, binary output modes, bit-order/framing variants,
+custom sync bytes, V.21, UIC decode, print filter, confidence knobs."""
+
+import numpy as np
+import pytest
+
+from .conftest import ASCII_FIXTURE, read_fixture
+from .helpers import run_cli, self_test
+
+
+def test_auto_carrier(tmp_wav):
+    # -a engages the carrier-autodetect host path
+    # (reference: src/minimodem.c:1179-1220).  RTTY is the designed use
+    # case: its long bit time gives the one-bit detection FFT enough
+    # spectral resolution.  (At 1200 baud the 40-sample scan window has a
+    # 1200 Hz main lobe vs 200 Hz bands, so detection is off-by-a-band
+    # flaky — in the reference too, which ships no -a test.)
+    text = b"RTTY AUTODETECT ROUND TRIP 123\n"
+    wav = tmp_wav()
+    code, _, err = run_cli(["--tx", "--file", wav, "rtty"], text)
+    assert code == 0, err
+    code, out, err = run_cli(["--rx", "-a", "--file", wav, "rtty"])
+    assert code == 0, err
+    assert out == text, err
+    assert "### CARRIER" in err
+
+
+def test_auto_carrier_nondefault_tone(tmp_wav):
+    # TX on shifted tones; -a must find the carrier band
+    text = b"autodetect me\n"
+    wav = tmp_wav()
+    code, _, err = run_cli(
+        ["--tx", "--file", wav, "1200", "-M", "2200", "-S", "3200"], text)
+    assert code == 0, err
+    code, out, err = run_cli(["--rx", "-a", "--file", wav, "1200"])
+    assert code == 0, err
+    assert out == text, err
+
+
+def test_binary_output(tmp_wav):
+    wav = tmp_wav()
+    code, _, err = run_cli(["--tx", "--file", wav, "1200"], b"A")
+    assert code == 0, err
+    code, out, err = run_cli(["--rx", "--binary-output", "--file", wav, "1200"])
+    assert code == 0, err
+    lines = out.decode().strip().split("\n")
+    # 'A' = 0x41 -> LSB-first bits 10000010
+    assert "10000010" in lines, (lines, err)
+
+
+def test_binary_raw(tmp_wav):
+    # --binary-raw N: no framing, N bits per line
+    # (reference: src/minimodem.c:894-898).  Without start/stop bits the
+    # frame alignment is arbitrary, so check the concatenated bit stream
+    # rather than line boundaries.
+    wav = tmp_wav()
+    payload = bytes([0b10110010] * 4)
+    code, _, err = run_cli(["--tx", "--file", wav, "--startbits", "0",
+                            "--stopbits", "0", "1200"], payload)
+    assert code == 0, err
+    code, out, err = run_cli(
+        ["--rx", "--binary-raw", "8", "--file", wav, "1200"])
+    assert code == 0, err
+    stream = out.decode().replace("\n", "")
+    assert set(stream) <= {"0", "1"}
+    assert "01001101" * 3 in stream, (out, err)  # LSB-first of 0xB2 x3
+
+
+def test_msb_first(tmp_wav):
+    self_test(b"msb-first round trip\n", tmp_wav(),
+              ["--msb-first", "1200"])
+
+
+def test_invert_start_stop(tmp_wav):
+    self_test(b"inverted start/stop\n", tmp_wav(),
+              ["--invert-start-stop", "1200"])
+
+
+def test_inverted_freqs(tmp_wav):
+    self_test(b"inverted mark/space\n", tmp_wav(), ["-i", "1200"])
+
+
+def test_custom_sync_byte(tmp_wav):
+    self_test(b"sync framed payload\n", tmp_wav(),
+              ["--sync-byte", "0x55", "1200"])
+
+
+def test_v21(tmp_wav):
+    self_test(b"V.21 at 300 baud\n", tmp_wav(), ["V.21"])
+
+
+def test_custom_startstop(tmp_wav):
+    self_test(b"two start bits, two stop bits\n", tmp_wav(),
+              ["--startbits", "2", "--stopbits", "2", "1200"])
+
+
+def test_usos_off(tmp_wav):
+    self_test(b"FIGS 123 456 789 END\n", tmp_wav(), ["-u", "0", "rtty"])
+
+
+def test_print_filter(tmp_wav):
+    wav = tmp_wav()
+    payload = b"ok\x01\x02text\n"
+    code, _, err = run_cli(["--tx", "--file", wav, "1200"], payload)
+    assert code == 0, err
+    code, out, err = run_cli(
+        ["--rx", "--print-filter", "--file", wav, "1200"])
+    assert code == 0, err
+    assert out == b"ok..text\n", (out, err)
+
+
+def test_print_eot(tmp_wav):
+    wav = tmp_wav()
+    code, _, err = run_cli(["--tx", "--print-eot", "--file", wav, "1200"],
+                           b"bye")
+    assert code == 0, err
+    assert "### EOT" in err
+
+
+def test_confidence_threshold_squelch(tmp_wav):
+    # an absurdly high threshold squelches everything -> no output
+    text = b"should be squelched"
+    wav = tmp_wav()
+    code, _, err = run_cli(["--tx", "--file", wav, "1200"], text)
+    assert code == 0, err
+    code, out, err = run_cli(
+        ["--rx", "-c", "1000000", "--file", wav, "1200"])
+    assert code == 0
+    assert out == b""
+    assert "CARRIER" not in err
+
+
+def test_limit_sanitize(tmp_wav):
+    # -l below -c is raised to -c (reference: src/minimodem.c:963-965);
+    # decode still works
+    self_test(b"limit sanitize\n", tmp_wav(),
+              ["1200"], rx_args=["-c", "2.0", "-l", "0.5", "1200"])
+
+
+def test_uic_decode(tmp_wav):
+    """Synthesize a UIC-751-3 telegram by keying raw frame bits, decode
+    with the uic-train preset (reference: src/minimodem.c:859-876,
+    src/databits_uic.c)."""
+    from minimodem_tpu.codecs import bit_reverse
+    from minimodem_tpu.models.presets import uic
+    from minimodem_tpu.ops.tx import ToneGenerator
+    from minimodem_tpu.sigio import Direction, SampleFormat
+    from minimodem_tpu.sigio.wavfile import FileStream
+
+    preset = uic("train")
+    cfg = preset.cfg
+    wav = tmp_wav()
+
+    # frame bits: 8-bit sync pattern 11110010 then 39 data bits
+    train_id = [2, 0, 1, 9, 0, 7]           # six nibbles, LSB-first each
+    code_byte = 0x09                         # "Train staff wish to comm."
+    data = 0
+    for i, nib in enumerate(train_id):
+        data |= nib << (4 * i)
+    data |= bit_reverse(code_byte, 8) << 24
+    frame_bits = [1, 1, 1, 1, 0, 0, 1, 0] + [
+        (data >> i) & 1 for i in range(39)]
+
+    gen = ToneGenerator(cfg.sample_rate, SampleFormat.S16)
+    bit_ns = cfg.bit_nsamples_tx
+    for _ in range(4):                       # leader marks
+        gen.tone(float(cfg.mark_f), bit_ns)
+    for _ in range(3):                       # repeat the telegram
+        for b in frame_bits:
+            gen.tone(float(cfg.mark_f if b else cfg.space_f), bit_ns)
+    for _ in range(4):
+        gen.tone(float(cfg.mark_f), bit_ns)
+    stream = FileStream(wav, Direction.PLAYBACK, SampleFormat.S16,
+                        cfg.sample_rate, 1)
+    stream.write(gen.synthesize())
+    stream.close()
+
+    code, out, err = run_cli(["--rx", "--file", wav, "uic-train"])
+    assert code == 0, err
+    assert b"Train ID: 201907 - Message: 09 (Train staff wish to comm.)" \
+        in out, (out, err)
