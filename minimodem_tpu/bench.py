@@ -108,6 +108,56 @@ def decode_throughput(mode: str = "1200", audio_seconds: float = 60.0,
     }
 
 
+def batched_loopback_throughput(mode: str = "1200",
+                                audio_seconds: float = 60.0,
+                                batch: int = 16,
+                                sample_rate: int = 48000,
+                                precision: str = "auto") -> dict:
+    """Aggregate decode throughput with `batch` concurrent streams in one
+    device program (the production-serving configuration): audio-seconds
+    decoded per wall-clock second per chip."""
+    import io
+
+    from .codecs import Ascii8Codec, get_codec
+    from .config import RxOptions
+    from .models.modem import FskModem
+    from .ops.device_rx import DeviceLoopback
+    from .ops.tx_device import tx_bit_schedule
+    from .rx.engine import Receiver
+
+    m = FskModem(mode, sample_rate=sample_rate, precision=precision)
+    base = _bench_payload(m.cfg, audio_seconds)
+    payloads = [
+        bytes((b + i) % 94 + 33 for b in range(len(base)))
+        for i in range(batch)
+    ]
+    scheds = [tx_bit_schedule(p, m.cfg, Ascii8Codec()) for p in payloads]
+    audio_sec = sum(len(s) for s in scheds) * m.cfg.bit_nsamples_tx / sample_rate
+
+    lb = DeviceLoopback(m.cfg, precision)
+    ev_t, ev_p, n = lb.run_events_batch(scheds)  # compile + correctness
+    ok = True
+    for i, p in enumerate(payloads):
+        sink = io.BytesIO()
+        rx = Receiver(m.cfg, RxOptions(), get_codec("ascii8"),
+                      sink.write, lambda s: None)
+        rx.render_events(ev_t[i, :int(n[i])], ev_p[i, :int(n[i])])
+        ok = ok and sink.getvalue() == p
+
+    t0 = time.perf_counter()
+    lb.run_events_batch(scheds)
+    dt = time.perf_counter() - t0
+
+    return {
+        "mode": mode,
+        "batch": batch,
+        "audio_seconds": audio_sec,
+        "wall_seconds": dt,
+        "real_time_factor": audio_sec / dt,
+        "decode_exact": bool(ok),
+    }
+
+
 def loopback_throughput(mode: str = "1200", audio_seconds: float = 60.0,
                         sample_rate: int = 48000,
                         precision: str = "auto") -> dict:

@@ -215,49 +215,55 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
         return conf2, ampl2, bits_lo, bits_hi
 
     # ------------------------------------------------------------------
-    def receiver(x, total_scalar, conf_threshold, conf_search_limit):
-        """x: [t_total + halo] f32 (zero-padded past end-of-stream);
-        total_scalar: i32 actual stream length.  Returns
-        (ev_type [E] i32, ev_pay [E, 6] u32, n_events i32)."""
-        conf2, ampl2, bits_lo, bits_hi = score_arrays(x)
-        cands = jnp.asarray(cand_np)
+    def receiver(x, total, conf_threshold, conf_search_limit):
+        """Batched receiver.
 
-        kiota = jnp.arange(K, dtype=jnp.int32)
+        x: [B, t_total + halo] (zero-padded past end-of-stream);
+        total: [B] i32 actual stream lengths.  Returns
+        (ev_type [B, E] i32, ev_pay [B, E, 6] u32, n_events [B] i32).
+
+        All B streams run the state machine in lockstep — each stream's
+        decisions are independent and identical to the single-stream
+        replay; inactive (finished) streams are mask-frozen.
+        """
+        conf2, ampl2, bits_lo, bits_hi = jax.vmap(score_arrays)(x)
+        # conf2/ampl2: [B, 2, T]; bits_lo/hi: [B, T]
+        B = x.shape[0]
+        brange = jnp.arange(B)
+        cands = jnp.asarray(cand_np)
 
         def find_frame(pos, geo_i, expect_i, fine_i, limit):
             """Replay fsk_find_frame's ordered scan with early exit
-            (reference: src/fsk.c:477-502), vectorized.
-
-            The sequential semantics — strict improvement, earlier
+            (reference: src/fsk.c:477-502), vectorized over candidates AND
+            streams.  Sequential semantics — strict improvement, earlier
             candidate wins ties, stop at the first running-max >= limit —
-            are reproduced with a prefix-max + first-crossing argmax.
-            geo_i selects the scan-window geometry (carrier state at scan
-            setup); expect_i selects the expect pattern (0=data, 1=sync)."""
-            clist = cands[geo_i, fine_i]                       # [K] i32
-            idx = pos + jnp.maximum(clist, 0)
-            c = conf2[expect_i, idx]                           # [K] f32
+            via prefix-max + first-crossing argmax.
+            pos/geo_i/expect_i: [B]; fine_i, limit: scalars."""
+            clist = cands[geo_i, fine_i]                       # [B, K] i32
+            idx = pos[:, None] + jnp.maximum(clist, 0)         # [B, K]
+            c = conf2[brange[:, None], expect_i[:, None], idx]
             invalid = clist < 0
-            # NaN confidences are never selected sequentially (best < NaN is
-            # false); sentinel them to -1 so vector max ignores them too
+            # NaN confidences are never selected sequentially (best < NaN
+            # is false); sentinel to -1 so vector max ignores them too
             c = jnp.where(jnp.logical_or(invalid, jnp.isnan(c)),
                           jnp.float32(-1.0), c)
-            prefix_max = jax.lax.associative_scan(jnp.maximum, c)
+            prefix_max = jax.lax.associative_scan(jnp.maximum, c, axis=1)
             crossed = prefix_max >= limit
-            any_cross = jnp.any(crossed)
+            any_cross = jnp.any(crossed, axis=1)
             k_stop = jnp.where(any_cross,
-                               jnp.argmax(crossed).astype(jnp.int32),
+                               jnp.argmax(crossed, axis=1).astype(jnp.int32),
                                jnp.int32(K - 1))
-            best_c = prefix_max[k_stop]
+            best_c = prefix_max[brange, k_stop]
             # first index attaining best_c (<= k_stop by construction)
-            sel = jnp.argmax(c == best_c).astype(jnp.int32)
+            sel = jnp.argmax(c == best_c[:, None], axis=1).astype(jnp.int32)
             got = best_c > jnp.float32(0.0)
-            t = jnp.where(got, clist[sel], jnp.int32(0))
+            t = jnp.where(got, clist[brange, sel], jnp.int32(0))
             sidx = pos + jnp.maximum(t, 0)
             zero_f = jnp.float32(0.0)
             conf = jnp.where(got, best_c, zero_f)
-            a = jnp.where(got, ampl2[expect_i, sidx], zero_f)
-            blo = jnp.where(got, bits_lo[sidx], jnp.uint32(0))
-            bhi = jnp.where(got, bits_hi[sidx], jnp.uint32(0))
+            a = jnp.where(got, ampl2[brange, expect_i, sidx], zero_f)
+            blo = jnp.where(got, bits_lo[brange, sidx], jnp.uint32(0))
+            bhi = jnp.where(got, bits_hi[brange, sidx], jnp.uint32(0))
             return conf, a, blo, bhi, t
 
         try_max_arr = jnp.asarray(
@@ -265,68 +271,70 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
         coarse_step_arr = jnp.asarray(
             [geom[0]["coarse_step"], geom[1]["coarse_step"]], jnp.int32)
 
+        zf = jnp.zeros((B,), jnp.float32)
+        zi = jnp.zeros((B,), jnp.int32)
+        zb = jnp.zeros((B,), bool)
         state0 = dict(
-            pos=jnp.int32(0),
-            carrier=jnp.bool_(False),
-            noconfidence=jnp.int32(0),
-            track_amplitude=jnp.float32(0.0),
-            peak_confidence=jnp.float32(0.0),
-            conf_total=jnp.float32(0.0),
-            ampl_total=jnp.float32(0.0),
-            nframes=jnp.int32(0),
-            carrier_nsamples=jnp.int32(0),
-            n_events=jnp.int32(0),
-            stop=jnp.bool_(False),
-            ev_type=jnp.zeros((max_events,), jnp.int32),
-            ev_pay=jnp.zeros((max_events, 6), jnp.uint32),
+            pos=zi, carrier=zb, noconfidence=zi,
+            track_amplitude=zf, peak_confidence=zf,
+            conf_total=zf, ampl_total=zf,
+            nframes=zi, carrier_nsamples=zi,
+            n_events=zi, stop=zb,
+            ev_type=jnp.zeros((B, max_events), jnp.int32),
+            ev_pay=jnp.zeros((B, max_events, 6), jnp.uint32),
         )
 
         def emit_if(pred, st, etype, payload6):
-            # O(1) conditional append: blend the new row with the existing
-            # row at slot i, then write that one row back unconditionally.
+            """Per-stream conditional append: blend new rows with the
+            existing rows at each stream's slot, write back, bump counts.
+            pred: [B]; payload6: [B, 6]."""
             i = st["n_events"]
             st = dict(st)
-            old_t = st["ev_type"][i]
-            old_p = jax.lax.dynamic_slice(st["ev_pay"], (i, jnp.int32(0)),
-                                          (1, 6))
+            old_t = st["ev_type"][brange, i]
+            old_p = st["ev_pay"][brange, i, :]
             new_t = jnp.where(pred, etype, old_t)
-            new_p = jnp.where(pred, payload6[None, :], old_p)
-            st["ev_type"] = st["ev_type"].at[i].set(new_t)
-            st["ev_pay"] = jax.lax.dynamic_update_slice(
-                st["ev_pay"], new_p, (i, jnp.int32(0)))
+            new_p = jnp.where(pred[:, None], payload6, old_p)
+            st["ev_type"] = st["ev_type"].at[brange, i].set(new_t)
+            st["ev_pay"] = st["ev_pay"].at[brange, i, :].set(new_p)
             st["n_events"] = i + jnp.where(pred, jnp.int32(1), jnp.int32(0))
             return st
 
-        def cond(st):
+        def active_of(st):
             return jnp.logical_and(
                 jnp.logical_not(st["stop"]),
                 jnp.logical_and(
-                    st["pos"] + expect_nsamples <= total_scalar,
+                    st["pos"] + expect_nsamples <= total,
                     st["n_events"] < max_events - 2))
 
+        def cond(st):
+            return jnp.any(active_of(st))
+
         def body(st):
+            active = active_of(st)
             pos = st["pos"]
             carrier = st["carrier"]
             geo_i = carrier.astype(jnp.int32)
-            expect_i = 1 - geo_i                 # carrier->data(0) else sync(1)
+            expect_i = 1 - geo_i               # carrier->data(0) else sync(1)
             try_step = coarse_step_arr[geo_i]
             try_max = try_max_arr[geo_i]
 
             conf, ampl, blo, bhi, fstart = find_frame(
                 pos, geo_i, expect_i, jnp.int32(0), conf_search_limit)
 
-            refine = conf < st["peak_confidence"] * jnp.float32(0.75)
+            refine = jnp.logical_and(
+                active, conf < st["peak_confidence"] * jnp.float32(0.75))
             peak_confidence = jnp.where(
                 refine, jnp.float32(0.0), st["peak_confidence"])
             ampl_drop = ampl < st["track_amplitude"] * jnp.float32(0.25)
             conf = jnp.where(ampl_drop, jnp.float32(0.0), conf)
 
-            no_conf = conf <= conf_threshold
-            got = jnp.logical_not(no_conf)
+            no_conf = jnp.logical_and(active, conf <= conf_threshold)
+            got = jnp.logical_and(active, conf > conf_threshold)
 
             # ---- no-confidence path (reference: :1292-1321) ----
-            noconfidence = jnp.where(no_conf, st["noconfidence"] + 1,
-                                     jnp.int32(0))
+            noconfidence = jnp.where(
+                no_conf, st["noconfidence"] + 1,
+                jnp.where(got, jnp.int32(0), st["noconfidence"]))
             drop = jnp.logical_and(
                 no_conf, noconfidence > FSK_MAX_NOCONFIDENCE_BITS)
             drop_report = jnp.logical_and(drop, carrier)
@@ -338,8 +346,8 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
             # reference adjusts it before the fine rescan
             # (src/minimodem.c:1324-1330 precedes :1357-1389)
             fstart_coarse = fstart
-            # fine rescan: same scan window (geo_i), data expect (carrier is
-            # now logically on), limit=inf (reference: :1357-1389)
+            # fine rescan: same scan window (geo_i), data expect (carrier
+            # is now logically on), limit=inf (reference: :1357-1389)
             do_fine = jnp.logical_and(
                 got,
                 jnp.logical_and(
@@ -347,7 +355,8 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                     jnp.logical_and(conf < jnp.float32(np.inf),
                                     try_step > 1)))
             c2, a2, blo2, bhi2, fs2 = find_frame(
-                pos, geo_i, jnp.int32(0), jnp.int32(1), jnp.float32(np.inf))
+                pos, geo_i, jnp.zeros((B,), jnp.int32), jnp.int32(1),
+                jnp.float32(np.inf))
             take2 = jnp.logical_and(do_fine, c2 > conf)
             # NB: confidence itself is NOT updated (reference: :1383-1387)
             ampl = jnp.where(take2, a2, ampl)
@@ -374,7 +383,8 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
             nframes = jnp.where(got, st["nframes"] + 1, st["nframes"])
 
             advance = jnp.where(
-                got, fstart + jnp.int32(frame_nsamples) - overscan, try_max)
+                got, fstart + jnp.int32(frame_nsamples) - overscan,
+                jnp.where(no_conf, try_max, jnp.int32(0)))
 
             # ---- events (order: drop-report, acquire, frame) ----
             st2 = st
@@ -383,16 +393,19 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                 st["conf_total"].view(jnp.uint32),
                 st["ampl_total"].view(jnp.uint32),
                 st["carrier_nsamples"].view(jnp.uint32),
-                jnp.uint32(0), jnp.uint32(0)])
-            st2 = emit_if(drop_report, st2, jnp.int32(EV_NOCARRIER), drop_pay)
+                jnp.zeros((B,), jnp.uint32), jnp.zeros((B,), jnp.uint32)],
+                axis=1)
+            st2 = emit_if(drop_report, st2, jnp.int32(EV_NOCARRIER),
+                          drop_pay)
             st2 = emit_if(acquired, st2, jnp.int32(EV_CARRIER),
-                          jnp.zeros((6,), jnp.uint32))
+                          jnp.zeros((B, 6), jnp.uint32))
             frame_pay = jnp.stack([
                 blo, bhi, conf.view(jnp.uint32), ampl.view(jnp.uint32),
-                fstart.view(jnp.uint32), jnp.uint32(0)])
+                fstart.view(jnp.uint32), jnp.zeros((B,), jnp.uint32)],
+                axis=1)
             st2 = emit_if(got, st2, jnp.int32(EV_FRAME), frame_pay)
 
-            # ---- state update ----
+            # ---- state update (inactive streams freeze) ----
             reset_stats = drop_report
             st2["pos"] = pos + advance
             st2["carrier"] = jnp.where(got, True,
@@ -420,7 +433,8 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
             st["conf_total"].view(jnp.uint32),
             st["ampl_total"].view(jnp.uint32),
             st["carrier_nsamples"].view(jnp.uint32),
-            jnp.uint32(0), jnp.uint32(0)])
+            jnp.zeros((B,), jnp.uint32), jnp.zeros((B,), jnp.uint32)],
+            axis=1)
         st = emit_if(st["carrier"], st, jnp.int32(EV_NOCARRIER), final_pay)
 
         return st["ev_type"], st["ev_pay"], st["n_events"]
@@ -476,29 +490,40 @@ class DeviceLoopback:
         amp = self._amplitude
 
         def loop(bits, total, thr, lim):
-            s = device_synthesize(bits, cfg, amp)
-            x = jnp.zeros((pad_to,), jnp.float32)
-            x = jax.lax.dynamic_update_slice(x, s, (0,))
+            # bits: [B, b_pad]; synthesize + decode each stream on device
+            s = jax.vmap(lambda bb: device_synthesize(bb, cfg, amp))(bits)
+            bsz = bits.shape[0]
+            x = jnp.zeros((bsz, pad_to), jnp.float32)
+            x = jax.lax.dynamic_update_slice(x, s, (0, 0))
             return rx_fn(x, total, thr, lim)
 
         fn = jax.jit(loop)
         self._fns[b_pad] = fn
         return fn
 
-    def run_events(self, sched_bits: np.ndarray, conf_threshold: float = 1.5,
-                   conf_search_limit: float = 2.3):
+    def run_events_batch(self, sched_list, conf_threshold: float = 1.5,
+                         conf_search_limit: float = 2.3):
+        """sched_list: list of uint8 bit schedules (one per stream)."""
         import jax.numpy as jnp
 
-        b_real = len(sched_bits)
-        b_pad = _round_up_pow2(b_real, 1 << 10)
-        bits = np.zeros(b_pad, np.uint8)
-        bits[:b_real] = sched_bits
+        b_real = [len(s) for s in sched_list]
+        b_pad = _round_up_pow2(max(b_real), 1 << 10)
+        bits = np.zeros((len(sched_list), b_pad), np.uint8)
+        for i, s in enumerate(sched_list):
+            bits[i, :len(s)] = s
+        totals = np.asarray([n * self.bit_ns for n in b_real], np.int32)
         fn = self._fn_for(b_pad)
         ev_type, ev_pay, n = fn(
-            jnp.asarray(bits), np.int32(b_real * self.bit_ns),
+            jnp.asarray(bits), jnp.asarray(totals),
             np.float32(conf_threshold), np.float32(conf_search_limit))
-        n = int(n)
-        return np.asarray(ev_type[:n]), np.asarray(ev_pay[:n])
+        return np.asarray(ev_type), np.asarray(ev_pay), np.asarray(n)
+
+    def run_events(self, sched_bits: np.ndarray, conf_threshold: float = 1.5,
+                   conf_search_limit: float = 2.3):
+        ev_type, ev_pay, n = self.run_events_batch(
+            [sched_bits], conf_threshold, conf_search_limit)
+        k = int(n[0])
+        return ev_type[0, :k], ev_pay[0, :k]
 
 
 class DeviceReceiver:
@@ -511,18 +536,30 @@ class DeviceReceiver:
         self.key = device_rx_key(cfg, precision)
         self.rx_one = rx_one
 
-    def run_events(self, samples: np.ndarray, conf_threshold: float,
-                   conf_search_limit: float):
-        total = len(samples)
+    def run_events_batch(self, samples: np.ndarray, totals,
+                         conf_threshold: float, conf_search_limit: float):
+        """samples: [B, L] (int16 or float32); totals: [B] valid lengths.
+        Returns (ev_type [B, E], ev_pay [B, E, 6], n_events [B])."""
+        b, L = samples.shape
+        totals = np.asarray(totals, np.int32)
+        t_total = _round_up_pow2(
+            int(totals.max(initial=0)) + self.cfg.nsamples_overscan + 1)
         geo = geometry_from_config(self.cfg)
-        t_total = _round_up_pow2(total + self.cfg.nsamples_overscan + 1)
         in_dtype = "int16" if samples.dtype == np.int16 else "float32"
         fn, max_events, _ = _build_device_rx(
             self.key, t_total, self.rx_one, in_dtype)
-        x = np.zeros(t_total + geo.halo, samples.dtype)
-        x[:total] = samples
+        x = np.zeros((b, t_total + geo.halo), samples.dtype)
+        x[:, :min(L, t_total + geo.halo)] = samples[:, :t_total + geo.halo]
         ev_type, ev_pay, n = fn(
-            jnp.asarray(x), np.int32(total),
+            jnp.asarray(x), jnp.asarray(totals),
             np.float32(conf_threshold), np.float32(conf_search_limit))
-        n = int(n)
-        return np.asarray(ev_type[:n]), np.asarray(ev_pay[:n])
+        return np.asarray(ev_type), np.asarray(ev_pay), np.asarray(n)
+
+    def run_events(self, samples: np.ndarray, conf_threshold: float,
+                   conf_search_limit: float):
+        """Single-stream convenience wrapper."""
+        ev_type, ev_pay, n = self.run_events_batch(
+            samples[None, :], [len(samples)],
+            conf_threshold, conf_search_limit)
+        k = int(n[0])
+        return ev_type[0, :k], ev_pay[0, :k]

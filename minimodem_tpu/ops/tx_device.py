@@ -105,10 +105,14 @@ def device_synthesize(bits, cfg: ModemConfig, amplitude: float = 1.0):
              + n_space_excl * np.float64(p["inc_space"]))
     phase = phase - jnp.floor(phase)
 
+    # per-sample phase within a bit stays < ~5 turns; float32 is plenty
+    # (the per-bit base phase above is exact via integer prefix counts)
+    phase32 = phase.astype(jnp.float32)
     inv_wave = jnp.where(bits == 1,
-                         np.float64(p["inv_wave_mark"]),
-                         np.float64(p["inv_wave_space"]))
-    i = jnp.arange(bit_ns, dtype=jnp.float64)
-    turns = phase[:, None] + i[None, :] * inv_wave[:, None]
-    samples = jnp.sin(np.float64(2.0 * np.pi) * turns)
-    return (np.float32(amplitude) * samples.astype(jnp.float32)).reshape(-1)
+                         np.float32(p["inv_wave_mark"]),
+                         np.float32(p["inv_wave_space"]))
+    i = jnp.arange(bit_ns, dtype=jnp.float32)
+    turns = phase32[:, None] + i[None, :] * inv_wave[:, None]
+    frac = turns - jnp.floor(turns)
+    samples = jnp.sin(np.float32(2.0 * np.pi) * frac)
+    return (np.float32(amplitude) * samples).reshape(-1)
