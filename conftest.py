@@ -32,6 +32,9 @@ def pytest_configure(config):
     if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
     env["XLA_FLAGS"] = xla_flags
+    # hermetic test compiles: don't share AOT cache artifacts across
+    # platforms/machines (stale remote-compiled entries SIGILL-warn)
+    env["MINIMODEM_TPU_JAX_CACHE"] = ""
 
     # restore the real stdout/stderr fds before exec (pytest's fd-capture
     # has already redirected fd 1/2 into temp files by now)

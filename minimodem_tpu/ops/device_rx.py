@@ -86,9 +86,30 @@ def device_rx_key(cfg: ModemConfig, precision: str = "auto"):
     )
 
 
+CARRY_FIELDS = (
+    "pos", "carrier", "noconfidence", "track_amplitude", "peak_confidence",
+    "conf_total", "ampl_total", "nframes", "carrier_nsamples", "stop",
+)
+
+
+def zero_carry(batch: int) -> dict:
+    """Fresh per-stream state machine carry (all counters zero)."""
+    zf = np.zeros(batch, np.float32)
+    zi = np.zeros(batch, np.int32)
+    zb = np.zeros(batch, bool)
+    return {
+        "pos": zi.copy(), "carrier": zb.copy(), "noconfidence": zi.copy(),
+        "track_amplitude": zf.copy(), "peak_confidence": zf.copy(),
+        "conf_total": zf.copy(), "ampl_total": zf.copy(),
+        "nframes": zi.copy(), "carrier_nsamples": zi.copy(),
+        "stop": zb.copy(),
+    }
+
+
 @functools.lru_cache(maxsize=32)
 def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
-                     input_dtype: str = "float32"):
+                     input_dtype: str = "float32",
+                     finalize: bool = True):
     """Compile the full device receiver for a fixed scored length
     t_total (>= stream length in samples).
 
@@ -200,10 +221,13 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
         zero = jnp.float32(0.0)
         ok_data = mask_for(req_data)
         ok_sync = mask_for(req_sync)
-        conf2 = jnp.stack([jnp.where(ok_data, conf, zero),
-                           jnp.where(ok_sync, conf, zero)])
-        ampl2 = jnp.stack([jnp.where(ok_data, ampl, zero),
-                           jnp.where(ok_sync, ampl, zero)])
+        # NB: keep these as separate [T] arrays — stacking to [2, T] makes
+        # XLA pick a (8,128)-tiled layout over the tiny leading dims on the
+        # batched [B, 2, T] form, inflating memory ~32x
+        conf_d = jnp.where(ok_data, conf, zero)
+        conf_s = jnp.where(ok_sync, conf, zero)
+        ampl_d = jnp.where(ok_data, ampl, zero)
+        ampl_s = jnp.where(ok_sync, ampl, zero)
         w_lo = jnp.asarray(
             [np.uint32(1 << b) if b < 32 else np.uint32(0)
              for b in range(n_bits)], jnp.uint32)
@@ -212,58 +236,107 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
              for b in range(n_bits)], jnp.uint32)
         bits_lo = jnp.sum(bits_i * w_lo[:, None], axis=0, dtype=jnp.uint32)
         bits_hi = jnp.sum(bits_i * w_hi[:, None], axis=0, dtype=jnp.uint32)
-        return conf2, ampl2, bits_lo, bits_hi
+        return conf_d, conf_s, ampl_d, ampl_s, bits_lo, bits_hi
 
     # ------------------------------------------------------------------
-    def receiver(x, total, conf_threshold, conf_search_limit):
-        """Batched receiver.
+    def receiver(x, total, conf_threshold, conf_search_limit, carry):
+        """Batched receiver with streaming state carry.
 
         x: [B, t_total + halo] (zero-padded past end-of-stream);
-        total: [B] i32 actual stream lengths.  Returns
-        (ev_type [B, E] i32, ev_pay [B, E, 6] u32, n_events [B] i32).
+        total: [B] i32 valid lengths; carry: dict of [B] state-machine
+        fields (see zero_carry) from a previous segment.  Returns
+        (ev_type [B, E] i32, ev_pay [B, E, 6] u32, n_events [B] i32,
+        carry_out).
 
         All B streams run the state machine in lockstep — each stream's
         decisions are independent and identical to the single-stream
-        replay; inactive (finished) streams are mask-frozen.
+        replay; inactive (finished) streams are mask-frozen.  With
+        finalize=False the end-of-stream NOCARRIER report is suppressed
+        and carry_out continues into the next segment.
         """
-        conf2, ampl2, bits_lo, bits_hi = jax.vmap(score_arrays)(x)
-        # conf2/ampl2: [B, 2, T]; bits_lo/hi: [B, T]
+        conf_d, conf_s, ampl_d, ampl_s, bits_lo, bits_hi = (
+            jax.vmap(score_arrays)(x))
+        # each array: [B, T]
         B = x.shape[0]
         brange = jnp.arange(B)
-        cands = jnp.asarray(cand_np)
 
-        def find_frame(pos, geo_i, expect_i, fine_i, limit):
+        # all candidate offsets lie in [0, W): slice one contiguous window
+        # per stream per iteration and do every lookup as one-hot vector
+        # math — no gathers inside the while loop (TPU gathers degrade to
+        # scalar loads and dominated the loop otherwise)
+        W = max(geom[0]["try_max"], geom[1]["try_max"])
+        witer = np.arange(W, dtype=np.int32)                   # [W] static
+        # one-hot candidate masks [geo, fine, K, W], built statically
+        onehot_np = (cand_np[:, :, :, None] == witer[None, None, None, :])
+        valid_np = cand_np >= 0                                 # [2, 2, K]
+
+        def slice_windows(pos):
+            """[B]-indexed contiguous windows of every score array."""
+            def sl1(a):    # [B, T] -> [B, W]
+                return jax.vmap(
+                    lambda row, p: jax.lax.dynamic_slice(row, (p,), (W,))
+                )(a, pos)
+
+            return (sl1(conf_d), sl1(conf_s), sl1(ampl_d), sl1(ampl_s),
+                    sl1(bits_lo), sl1(bits_hi))
+
+        def find_frame(wins, geo_i, expect_i, fine_i, limit):
             """Replay fsk_find_frame's ordered scan with early exit
             (reference: src/fsk.c:477-502), vectorized over candidates AND
             streams.  Sequential semantics — strict improvement, earlier
             candidate wins ties, stop at the first running-max >= limit —
-            via prefix-max + first-crossing argmax.
-            pos/geo_i/expect_i: [B]; fine_i, limit: scalars."""
-            clist = cands[geo_i, fine_i]                       # [B, K] i32
-            idx = pos[:, None] + jnp.maximum(clist, 0)         # [B, K]
-            c = conf2[brange[:, None], expect_i[:, None], idx]
-            invalid = clist < 0
+            via prefix-max + first-crossing argmax over the window.
+            wins: per-window score arrays, each [B, W];
+            geo_i/expect_i: [B]; fine_i scalar; limit scalar."""
+            wconf_d, wconf_s, wampl_d, wampl_s, wblo, wbhi = wins
+            onehot = jnp.asarray(onehot_np[:, fine_i])         # [2, K, W]
+            oh = jnp.where(geo_i[:, None, None] == 1,
+                           onehot[1][None], onehot[0][None])   # [B, K, W]
+            valid = jnp.where(geo_i[:, None] == 1,
+                              jnp.asarray(valid_np[1, fine_i])[None],
+                              jnp.asarray(valid_np[0, fine_i])[None])
+            clist = jnp.where(geo_i[:, None] == 1,
+                              jnp.asarray(cand_np[1, fine_i])[None],
+                              jnp.asarray(cand_np[0, fine_i])[None])
+
+            ce = jnp.where(expect_i[:, None] == 0, wconf_d, wconf_s)
+            c = jnp.sum(jnp.where(oh, ce[:, None, :], 0.0), axis=2,
+                        dtype=jnp.float32)
             # NaN confidences are never selected sequentially (best < NaN
             # is false); sentinel to -1 so vector max ignores them too
-            c = jnp.where(jnp.logical_or(invalid, jnp.isnan(c)),
-                          jnp.float32(-1.0), c)
+            c = jnp.where(
+                jnp.logical_or(~valid, jnp.isnan(c)), jnp.float32(-1.0), c)
             prefix_max = jax.lax.associative_scan(jnp.maximum, c, axis=1)
             crossed = prefix_max >= limit
             any_cross = jnp.any(crossed, axis=1)
             k_stop = jnp.where(any_cross,
                                jnp.argmax(crossed, axis=1).astype(jnp.int32),
                                jnp.int32(K - 1))
-            best_c = prefix_max[brange, k_stop]
-            # first index attaining best_c (<= k_stop by construction)
-            sel = jnp.argmax(c == best_c[:, None], axis=1).astype(jnp.int32)
+            best_c = jnp.max(
+                jnp.where(jnp.arange(K)[None, :] == k_stop[:, None],
+                          prefix_max, -jnp.inf), axis=1)
+            # first candidate attaining best_c (<= k_stop by construction)
+            selhot = c == best_c[:, None]                      # [B, K]
+            first = (jnp.cumsum(selhot.astype(jnp.int32), axis=1)
+                     == 1) & selhot                            # [B, K]
             got = best_c > jnp.float32(0.0)
-            t = jnp.where(got, clist[brange, sel], jnp.int32(0))
-            sidx = pos + jnp.maximum(t, 0)
+            t = jnp.sum(jnp.where(first, clist, 0), axis=1,
+                        dtype=jnp.int32)
+            # one-hot of the selected *window position* for value fetches
+            poshot = jnp.any(first[:, :, None] & oh, axis=1)   # [B, W]
+            ae = jnp.where(expect_i[:, None] == 0, wampl_d, wampl_s)
+            a_sel = jnp.sum(jnp.where(poshot, ae, 0.0), axis=1,
+                            dtype=jnp.float32)
+            blo_sel = jnp.sum(jnp.where(poshot, wblo, jnp.uint32(0)),
+                              axis=1, dtype=jnp.uint32)
+            bhi_sel = jnp.sum(jnp.where(poshot, wbhi, jnp.uint32(0)),
+                              axis=1, dtype=jnp.uint32)
             zero_f = jnp.float32(0.0)
             conf = jnp.where(got, best_c, zero_f)
-            a = jnp.where(got, ampl2[brange, expect_i, sidx], zero_f)
-            blo = jnp.where(got, bits_lo[brange, sidx], jnp.uint32(0))
-            bhi = jnp.where(got, bits_hi[brange, sidx], jnp.uint32(0))
+            a = jnp.where(got, a_sel, zero_f)
+            blo = jnp.where(got, blo_sel, jnp.uint32(0))
+            bhi = jnp.where(got, bhi_sel, jnp.uint32(0))
+            t = jnp.where(got, t, jnp.int32(0))
             return conf, a, blo, bhi, t
 
         try_max_arr = jnp.asarray(
@@ -271,18 +344,10 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
         coarse_step_arr = jnp.asarray(
             [geom[0]["coarse_step"], geom[1]["coarse_step"]], jnp.int32)
 
-        zf = jnp.zeros((B,), jnp.float32)
-        zi = jnp.zeros((B,), jnp.int32)
-        zb = jnp.zeros((B,), bool)
-        state0 = dict(
-            pos=zi, carrier=zb, noconfidence=zi,
-            track_amplitude=zf, peak_confidence=zf,
-            conf_total=zf, ampl_total=zf,
-            nframes=zi, carrier_nsamples=zi,
-            n_events=zi, stop=zb,
-            ev_type=jnp.zeros((B, max_events), jnp.int32),
-            ev_pay=jnp.zeros((B, max_events, 6), jnp.uint32),
-        )
+        state0 = dict(carry)
+        state0["n_events"] = jnp.zeros((B,), jnp.int32)
+        state0["ev_type"] = jnp.zeros((B, max_events), jnp.int32)
+        state0["ev_pay"] = jnp.zeros((B, max_events, 6), jnp.uint32)
 
         def emit_if(pred, st, etype, payload6):
             """Per-stream conditional append: blend new rows with the
@@ -318,8 +383,9 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
             try_step = coarse_step_arr[geo_i]
             try_max = try_max_arr[geo_i]
 
+            wins = slice_windows(pos)
             conf, ampl, blo, bhi, fstart = find_frame(
-                pos, geo_i, expect_i, jnp.int32(0), conf_search_limit)
+                wins, geo_i, expect_i, 0, conf_search_limit)
 
             refine = jnp.logical_and(
                 active, conf < st["peak_confidence"] * jnp.float32(0.75))
@@ -355,8 +421,8 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                     jnp.logical_and(conf < jnp.float32(np.inf),
                                     try_step > 1)))
             c2, a2, blo2, bhi2, fs2 = find_frame(
-                pos, geo_i, jnp.zeros((B,), jnp.int32), jnp.int32(1),
-                jnp.float32(np.inf))
+                wins, geo_i, jnp.zeros((B,), jnp.int32),
+                1, jnp.float32(np.inf))
             take2 = jnp.logical_and(do_fine, c2 > conf)
             # NB: confidence itself is NOT updated (reference: :1383-1387)
             ampl = jnp.where(take2, a2, ampl)
@@ -427,25 +493,33 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
 
         st = jax.lax.while_loop(cond, body, state0)
 
-        # end-of-stream: final NOCARRIER stats if still on carrier
-        final_pay = jnp.stack([
-            st["nframes"].view(jnp.uint32),
-            st["conf_total"].view(jnp.uint32),
-            st["ampl_total"].view(jnp.uint32),
-            st["carrier_nsamples"].view(jnp.uint32),
-            jnp.zeros((B,), jnp.uint32), jnp.zeros((B,), jnp.uint32)],
-            axis=1)
-        st = emit_if(st["carrier"], st, jnp.int32(EV_NOCARRIER), final_pay)
+        if finalize:
+            # end-of-stream: final NOCARRIER stats if still on carrier
+            final_pay = jnp.stack([
+                st["nframes"].view(jnp.uint32),
+                st["conf_total"].view(jnp.uint32),
+                st["ampl_total"].view(jnp.uint32),
+                st["carrier_nsamples"].view(jnp.uint32),
+                jnp.zeros((B,), jnp.uint32), jnp.zeros((B,), jnp.uint32)],
+                axis=1)
+            st = emit_if(st["carrier"], st, jnp.int32(EV_NOCARRIER),
+                         final_pay)
 
-        return st["ev_type"], st["ev_pay"], st["n_events"]
+        carry_out = {k: st[k] for k in CARRY_FIELDS}
+        return st["ev_type"], st["ev_pay"], st["n_events"], carry_out
 
     return jax.jit(receiver), max_events, geo
 
 
 def _round_up_pow2(n: int, floor: int = 1 << 14) -> int:
+    """Bucket sizes to limit recompiles without inflating memory: powers of
+    two up to 256K, then multiples of 256K."""
     v = floor
-    while v < n:
+    while v < n and v < (1 << 18):
         v *= 2
+    if v < n:
+        step = 1 << 18
+        v = ((n + step - 1) // step) * step
     return v
 
 
@@ -489,13 +563,13 @@ class DeviceLoopback:
         pad_to = t_total + geo.halo
         amp = self._amplitude
 
-        def loop(bits, total, thr, lim):
+        def loop(bits, total, thr, lim, carry):
             # bits: [B, b_pad]; synthesize + decode each stream on device
             s = jax.vmap(lambda bb: device_synthesize(bb, cfg, amp))(bits)
             bsz = bits.shape[0]
             x = jnp.zeros((bsz, pad_to), jnp.float32)
             x = jax.lax.dynamic_update_slice(x, s, (0, 0))
-            return rx_fn(x, total, thr, lim)
+            return rx_fn(x, total, thr, lim, carry)[:3]
 
         fn = jax.jit(loop)
         self._fns[b_pad] = fn
@@ -507,7 +581,7 @@ class DeviceLoopback:
         import jax.numpy as jnp
 
         b_real = [len(s) for s in sched_list]
-        b_pad = _round_up_pow2(max(b_real), 1 << 10)
+        b_pad = ((max(b_real) + 4095) // 4096) * 4096
         bits = np.zeros((len(sched_list), b_pad), np.uint8)
         for i, s in enumerate(sched_list):
             bits[i, :len(s)] = s
@@ -515,7 +589,8 @@ class DeviceLoopback:
         fn = self._fn_for(b_pad)
         ev_type, ev_pay, n = fn(
             jnp.asarray(bits), jnp.asarray(totals),
-            np.float32(conf_threshold), np.float32(conf_search_limit))
+            np.float32(conf_threshold), np.float32(conf_search_limit),
+            zero_carry(len(sched_list)))
         return np.asarray(ev_type), np.asarray(ev_pay), np.asarray(n)
 
     def run_events(self, sched_bits: np.ndarray, conf_threshold: float = 1.5,
@@ -537,9 +612,12 @@ class DeviceReceiver:
         self.rx_one = rx_one
 
     def run_events_batch(self, samples: np.ndarray, totals,
-                         conf_threshold: float, conf_search_limit: float):
+                         conf_threshold: float, conf_search_limit: float,
+                         carry=None, finalize: bool = True):
         """samples: [B, L] (int16 or float32); totals: [B] valid lengths.
-        Returns (ev_type [B, E], ev_pay [B, E, 6], n_events [B])."""
+        Returns (ev_type [B, E], ev_pay [B, E, 6], n_events [B],
+        carry_out dict) — pass carry_out back in (with finalize=False on
+        all but the last segment) for streaming decode."""
         b, L = samples.shape
         totals = np.asarray(totals, np.int32)
         t_total = _round_up_pow2(
@@ -547,19 +625,95 @@ class DeviceReceiver:
         geo = geometry_from_config(self.cfg)
         in_dtype = "int16" if samples.dtype == np.int16 else "float32"
         fn, max_events, _ = _build_device_rx(
-            self.key, t_total, self.rx_one, in_dtype)
+            self.key, t_total, self.rx_one, in_dtype, finalize)
         x = np.zeros((b, t_total + geo.halo), samples.dtype)
         x[:, :min(L, t_total + geo.halo)] = samples[:, :t_total + geo.halo]
-        ev_type, ev_pay, n = fn(
+        if carry is None:
+            carry = zero_carry(b)
+        ev_type, ev_pay, n, carry_out = fn(
             jnp.asarray(x), jnp.asarray(totals),
-            np.float32(conf_threshold), np.float32(conf_search_limit))
-        return np.asarray(ev_type), np.asarray(ev_pay), np.asarray(n)
+            np.float32(conf_threshold), np.float32(conf_search_limit),
+            carry)
+        return (np.asarray(ev_type), np.asarray(ev_pay), np.asarray(n),
+                {k: np.asarray(v) for k, v in carry_out.items()})
 
     def run_events(self, samples: np.ndarray, conf_threshold: float,
                    conf_search_limit: float):
         """Single-stream convenience wrapper."""
-        ev_type, ev_pay, n = self.run_events_batch(
+        ev_type, ev_pay, n, _ = self.run_events_batch(
             samples[None, :], [len(samples)],
             conf_threshold, conf_search_limit)
         k = int(n[0])
         return ev_type[0, :k], ev_pay[0, :k]
+
+
+class DeviceStreamReceiver:
+    """Streaming decode: feed() audio segments of any size; events come out
+    as they are decoded; finish() flushes the final stats.  State carries
+    across segments on device (the analogue of the reference's sliding
+    samplebuf, reference: src/minimodem.c:1144-1174, generalized to
+    unbounded streams with bounded device memory)."""
+
+    def __init__(self, cfg: ModemConfig, precision: str = "auto",
+                 rx_one: bool = False, segment_len: int = 1 << 19,
+                 conf_threshold: float = 1.5,
+                 conf_search_limit: float = 2.3):
+        from ..utils.cfloat import trunc_i
+
+        self.rx = DeviceReceiver(cfg, precision, rx_one)
+        self.cfg = cfg
+        geo = geometry_from_config(cfg, precision)
+        # scanning a non-final segment must stop early enough that every
+        # score it reads was computed from real (not yet-unseen) samples:
+        # frame search reads offsets [pos, pos+W) whose windows extend
+        # `halo` samples further
+        scan_w = trunc_i(cfg.nsamples_per_bit) + cfg.nsamples_overscan + 1
+        self._lookahead = geo.halo + scan_w
+        self.segment_len = max(segment_len,
+                               4 * (self._lookahead + cfg.expect_nsamples))
+        self.thr = conf_threshold
+        self.lim = conf_search_limit
+        self._carry = None
+        self._buf = np.zeros(0, np.float32)
+        self._done = False
+
+    def _process(self, samples: np.ndarray, finalize: bool):
+        if finalize:
+            total = len(samples)
+        else:
+            total = max(
+                0, len(samples) - self._lookahead + self.cfg.expect_nsamples)
+            total = min(total, len(samples))
+        ev_t, ev_p, n, carry = self.rx.run_events_batch(
+            samples[None, :], [total], self.thr, self.lim,
+            self._carry, finalize)
+        self._carry = carry
+        k = int(n[0])
+        return ev_t[0, :k], ev_p[0, :k]
+
+    def feed(self, samples: np.ndarray):
+        """Returns (ev_type, ev_pay) decoded so far from complete segments."""
+        assert not self._done
+        self._buf = np.concatenate(
+            [self._buf, np.asarray(samples, np.float32)])
+        evs_t, evs_p = [], []
+        while len(self._buf) >= self.segment_len:
+            seg = self._buf[:self.segment_len]
+            et, ep = self._process(seg, finalize=False)
+            evs_t.append(et)
+            evs_p.append(ep)
+            # consume up to the carried position; keep the unscanned tail
+            consumed = int(self._carry["pos"][0])
+            if consumed <= 0:
+                break
+            self._buf = self._buf[consumed:]
+            self._carry["pos"] = np.zeros_like(self._carry["pos"])
+        if evs_t:
+            return np.concatenate(evs_t), np.concatenate(evs_p)
+        return (np.zeros(0, np.int32), np.zeros((0, 6), np.uint32))
+
+    def finish(self):
+        """Process the remaining tail and flush final stats."""
+        assert not self._done
+        self._done = True
+        return self._process(self._buf, finalize=True)

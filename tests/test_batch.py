@@ -37,7 +37,7 @@ def test_batched_receiver_matches_single():
     totals = [len(w) for w in waves]
 
     rxer = DeviceReceiver(m.cfg)
-    ev_t, ev_p, n = rxer.run_events_batch(batch, totals, 1.5, 2.3)
+    ev_t, ev_p, n, _ = rxer.run_events_batch(batch, totals, 1.5, 2.3)
     for i, p in enumerate(payloads):
         k = int(n[i])
         got = _render(m.cfg, ev_t[i, :k], ev_p[i, :k])

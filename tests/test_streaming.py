@@ -1,0 +1,79 @@
+"""Streaming decode: feeding audio in arbitrary-size segments must produce
+exactly the same event stream as one-shot decode (state carries across
+segment boundaries on device)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from minimodem_tpu.codecs import get_codec
+from minimodem_tpu.config import RxOptions
+from minimodem_tpu.models.modem import FskModem
+from minimodem_tpu.ops.device_rx import DeviceReceiver, DeviceStreamReceiver
+from minimodem_tpu.rx.engine import Receiver
+
+
+def _render(cfg, ev_t, ev_p):
+    sink = io.BytesIO()
+    events = []
+    rx = Receiver(cfg, RxOptions(), get_codec("ascii8"),
+                  sink.write, events.append)
+    rx.render_events(ev_t, ev_p)
+    return sink.getvalue(), "".join(events)
+
+
+@pytest.mark.parametrize("feed_size", [4096, 30000])
+def test_streaming_matches_oneshot(feed_size):
+    m = FskModem("1200")
+    payload = bytes((33 + (i % 94)) for i in range(600))
+    samples = m.modulate(payload)
+
+    one = DeviceReceiver(m.cfg)
+    ev_t1, ev_p1 = one.run_events(samples, 1.5, 2.3)
+    out1, ev1 = _render(m.cfg, ev_t1, ev_p1)
+    assert out1 == payload
+
+    sr = DeviceStreamReceiver(m.cfg, segment_len=1 << 15)
+    parts_t, parts_p = [], []
+    for off in range(0, len(samples), feed_size):
+        et, ep = sr.feed(samples[off:off + feed_size])
+        parts_t.append(et)
+        parts_p.append(ep)
+    et, ep = sr.finish()
+    parts_t.append(et)
+    parts_p.append(ep)
+    ev_t2 = np.concatenate(parts_t)
+    ev_p2 = np.concatenate(parts_p)
+    out2, ev2 = _render(m.cfg, ev_t2, ev_p2)
+
+    assert out2 == payload
+    assert ev1 == ev2, (ev1, ev2)
+    assert np.array_equal(ev_t1, ev_t2)
+    assert np.array_equal(ev_p1, ev_p2)
+
+
+def test_streaming_multiple_carriers():
+    """Silence gaps force carrier drops; streaming must reproduce the same
+    carrier/nocarrier event sequence."""
+    m = FskModem("1200")
+    p1, p2 = b"first burst", b"second burst"
+    gap = np.zeros(48000, np.float32)  # 1s silence -> carrier drop
+    samples = np.concatenate([m.modulate(p1), gap, m.modulate(p2)])
+
+    one = DeviceReceiver(m.cfg)
+    ev_t1, ev_p1 = one.run_events(samples, 1.5, 2.3)
+    out1, ev1 = _render(m.cfg, ev_t1, ev_p1)
+    assert out1 == p1 + p2
+    assert ev1.count("NOCARRIER") == 2
+
+    sr = DeviceStreamReceiver(m.cfg, segment_len=1 << 15)
+    parts = []
+    for off in range(0, len(samples), 20000):
+        parts.append(sr.feed(samples[off:off + 20000]))
+    parts.append(sr.finish())
+    ev_t2 = np.concatenate([p[0] for p in parts])
+    ev_p2 = np.concatenate([p[1] for p in parts])
+    out2, ev2 = _render(m.cfg, ev_t2, ev_p2)
+    assert out2 == p1 + p2
+    assert ev1 == ev2
