@@ -135,13 +135,13 @@ def batched_loopback_throughput(mode: str = "1200",
     audio_sec = sum(len(s) for s in scheds) * m.cfg.bit_nsamples_tx / sample_rate
 
     lb = DeviceLoopback(m.cfg, precision)
-    ev_t, ev_p, n = lb.run_events_batch(scheds)  # compile + correctness
+    events = lb.run_events_batch(scheds)  # compile + correctness
     ok = True
     for i, p in enumerate(payloads):
         sink = io.BytesIO()
         rx = Receiver(m.cfg, RxOptions(), get_codec("ascii8"),
                       sink.write, lambda s: None)
-        rx.render_events(ev_t[i, :int(n[i])], ev_p[i, :int(n[i])])
+        rx.render_events(*events[i])
         ok = ok and sink.getvalue() == p
 
     t0 = time.perf_counter()

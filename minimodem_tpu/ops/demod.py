@@ -46,6 +46,19 @@ from ..utils.cfloat import F32_EPSILON, f32_div
 
 # direct convolution above this filter length would waste FLOPs; use FFT
 _DIRECT_CONV_MAX_NB = 4096
+
+
+def _pallas_eligible(geo) -> bool:
+    """Use the Pallas MXU kernel for float32 geometries on TPU backends."""
+    import os
+
+    if os.environ.get("MINIMODEM_TPU_NO_PALLAS"):
+        return False
+    if geo.use_f64:
+        return False
+    from .pallas_demod import backend_supports_pallas, supported
+
+    return supported(geo.nb) and backend_supports_pallas()
 # float64 scoring only pays off when confidence=inf is reachable and the
 # filter is short
 _F64_MAX_NB = 4096
@@ -193,6 +206,7 @@ def _build_score_fn(geo: DemodGeometry, t_len: int, platform: Optional[str]):
     basis_np = make_basis(geo, np.float64 if geo.use_f64 else np.float32)
     s_len = t_len + geo.max_begin  # offsets where bit windows may start
     use_fft = geo.nb > _DIRECT_CONV_MAX_NB
+    use_pallas = _pallas_eligible(geo)
     # NB: keep all closure constants as NumPy values — capturing a jax.Array
     # in a jitted closure forces a device-constant path that lowers
     # pathologically slowly in this environment (~70s per constant).
@@ -205,7 +219,10 @@ def _build_score_fn(geo: DemodGeometry, t_len: int, platform: Optional[str]):
     def score(samples):
         x = samples.astype(dtype)
         basis = jnp.asarray(basis_np)
-        if use_fft:
+        if use_pallas:
+            from .pallas_demod import correlate_pallas
+            corr = correlate_pallas(x, basis_np, s_len)
+        elif use_fft:
             corr = _correlate_fft(x, basis, s_len)
         else:
             corr = _correlate_direct(x, basis, s_len)

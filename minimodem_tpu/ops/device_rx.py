@@ -49,6 +49,28 @@ FSK_MAX_NOCONFIDENCE_BITS = 20  # reference: src/minimodem.c:1290
 EV_FRAME = 0
 EV_CARRIER = 1
 EV_NOCARRIER = 2
+# flag folded into the device event-type word (host expands to EV_CARRIER)
+EV_FLAG_ACQUIRED = 1 << 8
+
+
+def unpack_events(ev_8e: np.ndarray, n: int):
+    """Unpack a device event log [8, E] uint32 (columns = records) into the
+    host event-stream form (ev_type [M] i32, ev_pay [M, 6] u32), expanding
+    ACQUIRED-flagged frames into a CARRIER event followed by the frame."""
+    rec = np.ascontiguousarray(ev_8e[:, :n].T)          # [n, 8]
+    types = (rec[:, 6] & 0xFF).astype(np.int32)
+    acq = (rec[:, 6] & EV_FLAG_ACQUIRED) != 0
+    m = n + int(acq.sum())
+    out_t = np.empty(m, np.int32)
+    out_p = np.zeros((m, 6), np.uint32)
+    ins = np.cumsum(acq) - acq.astype(np.int64)          # exclusive prefix
+    idx = np.arange(n) + ins + acq                        # record positions
+    out_t[idx] = types
+    out_p[idx] = rec[:, :6]
+    car_idx = idx[acq] - 1
+    out_t[car_idx] = EV_CARRIER
+    out_p[car_idx] = 0
+    return out_t, out_p
 
 
 def _scan_order(try_first: int, try_max: int, try_step: int) -> list:
@@ -167,14 +189,20 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
     max_events = t_total // min_advance + 16
 
     # ------------------------------------------------------------------
+    from .demod import _pallas_eligible
+    use_pallas = _pallas_eligible(geo)
+
     def score_arrays(x):
-        """stages 1+2 -> conf/ampl stacked [2, T] (0=data expect, 1=sync
-        expect) + frame bit words [T]."""
+        """stages 1+2 -> per-offset conf/ampl for both expect patterns +
+        frame bit words, each a flat [T] array."""
         if input_dtype == "int16":
             x = x.astype(jnp.float32) / jnp.float32(32768.0)
         xd = x.astype(dtype)
         basis = jnp.asarray(basis_np)
-        if use_fft:
+        if use_pallas:
+            from .pallas_demod import correlate_pallas
+            corr = correlate_pallas(xd, basis_np, s_len)
+        elif use_fft:
             corr = _correlate_fft(xd, basis, s_len)
         else:
             corr = _correlate_direct(xd, basis, s_len)
@@ -221,9 +249,6 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
         zero = jnp.float32(0.0)
         ok_data = mask_for(req_data)
         ok_sync = mask_for(req_sync)
-        # NB: keep these as separate [T] arrays — stacking to [2, T] makes
-        # XLA pick a (8,128)-tiled layout over the tiny leading dims on the
-        # batched [B, 2, T] form, inflating memory ~32x
         conf_d = jnp.where(ok_data, conf, zero)
         conf_s = jnp.where(ok_sync, conf, zero)
         ampl_d = jnp.where(ok_data, ampl, zero)
@@ -236,7 +261,19 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
              for b in range(n_bits)], jnp.uint32)
         bits_lo = jnp.sum(bits_i * w_lo[:, None], axis=0, dtype=jnp.uint32)
         bits_hi = jnp.sum(bits_i * w_hi[:, None], axis=0, dtype=jnp.uint32)
-        return conf_d, conf_s, ampl_d, ampl_s, bits_lo, bits_hi
+        # pack all six per-offset channels as one [8, T] uint32 array so the
+        # while loop fetches a whole score window with ONE dynamic slice per
+        # stream per iteration.  Channel layout (floats bitcast):
+        #   0 conf_data  1 conf_sync  2 ampl_data  3 ampl_sync
+        #   4 bits_lo    5 bits_hi    6,7 zero
+        # (T must stay the minormost dim: tiny minor dims make XLA pick an
+        # (8,128)-tiled layout that inflates memory ~16-32x)
+        u = jax.lax.bitcast_convert_type
+        zeros = jnp.zeros_like(bits_lo)
+        return jnp.stack([
+            u(conf_d, jnp.uint32), u(conf_s, jnp.uint32),
+            u(ampl_d, jnp.uint32), u(ampl_s, jnp.uint32),
+            bits_lo, bits_hi, zeros, zeros], axis=0)
 
     # ------------------------------------------------------------------
     def receiver(x, total, conf_threshold, conf_search_limit, carry):
@@ -254,9 +291,7 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
         finalize=False the end-of-stream NOCARRIER report is suppressed
         and carry_out continues into the next segment.
         """
-        conf_d, conf_s, ampl_d, ampl_s, bits_lo, bits_hi = (
-            jax.vmap(score_arrays)(x))
-        # each array: [B, T]
+        packed = jax.vmap(score_arrays)(x)        # [B, 8, T] uint32
         B = x.shape[0]
         brange = jnp.arange(B)
 
@@ -271,14 +306,11 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
         valid_np = cand_np >= 0                                 # [2, 2, K]
 
         def slice_windows(pos):
-            """[B]-indexed contiguous windows of every score array."""
-            def sl1(a):    # [B, T] -> [B, W]
-                return jax.vmap(
-                    lambda row, p: jax.lax.dynamic_slice(row, (p,), (W,))
-                )(a, pos)
-
-            return (sl1(conf_d), sl1(conf_s), sl1(ampl_d), sl1(ampl_s),
-                    sl1(bits_lo), sl1(bits_hi))
+            """ONE packed-window slice per stream: [B, 8, W] uint32."""
+            return jax.vmap(
+                lambda row, p: jax.lax.dynamic_slice(
+                    row, (jnp.int32(0), p), (8, W))
+            )(packed, pos)
 
         def find_frame(wins, geo_i, expect_i, fine_i, limit):
             """Replay fsk_find_frame's ordered scan with early exit
@@ -286,9 +318,13 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
             streams.  Sequential semantics — strict improvement, earlier
             candidate wins ties, stop at the first running-max >= limit —
             via prefix-max + first-crossing argmax over the window.
-            wins: per-window score arrays, each [B, W];
+            wins: packed score windows [B, 8, W] uint32;
             geo_i/expect_i: [B]; fine_i scalar; limit scalar."""
-            wconf_d, wconf_s, wampl_d, wampl_s, wblo, wbhi = wins
+            f = lambda ch: jax.lax.bitcast_convert_type(  # noqa: E731
+                wins[:, ch, :], jnp.float32)
+            wconf_d, wconf_s = f(0), f(1)
+            wampl_d, wampl_s = f(2), f(3)
+            wblo, wbhi = wins[:, 4, :], wins[:, 5, :]
             onehot = jnp.asarray(onehot_np[:, fine_i])         # [2, K, W]
             oh = jnp.where(geo_i[:, None, None] == 1,
                            onehot[1][None], onehot[0][None])   # [B, K, W]
@@ -346,21 +382,25 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
 
         state0 = dict(carry)
         state0["n_events"] = jnp.zeros((B,), jnp.int32)
-        state0["ev_type"] = jnp.zeros((B, max_events), jnp.int32)
-        state0["ev_pay"] = jnp.zeros((B, max_events, 6), jnp.uint32)
+        # packed event log [B, 8, E] uint32: channels 0-5 payload,
+        # 6 = type | flags<<8, 7 unused.  (E minormost for sane tiling;
+        # one dynamic_update_slice per stream per iteration.)
+        state0["ev"] = jnp.zeros((B, 8, max_events), jnp.uint32)
 
-        def emit_if(pred, st, etype, payload6):
-            """Per-stream conditional append: blend new rows with the
-            existing rows at each stream's slot, write back, bump counts.
-            pred: [B]; payload6: [B, 6]."""
+        def emit_if(pred, st, record8):
+            """Per-stream conditional append: blend the new [8] record with
+            the existing column at each stream's slot, write back with ONE
+            update per stream.  pred: [B]; record8: [B, 8]."""
             i = st["n_events"]
             st = dict(st)
-            old_t = st["ev_type"][brange, i]
-            old_p = st["ev_pay"][brange, i, :]
-            new_t = jnp.where(pred, etype, old_t)
-            new_p = jnp.where(pred[:, None], payload6, old_p)
-            st["ev_type"] = st["ev_type"].at[brange, i].set(new_t)
-            st["ev_pay"] = st["ev_pay"].at[brange, i, :].set(new_p)
+
+            def upd(row, rec, p, ii):
+                old = jax.lax.dynamic_slice(row, (jnp.int32(0), ii), (8, 1))
+                new = jnp.where(p, rec[:, None], old)
+                return jax.lax.dynamic_update_slice(
+                    row, new, (jnp.int32(0), ii))
+
+            st["ev"] = jax.vmap(upd)(st["ev"], record8, pred, i)
             st["n_events"] = i + jnp.where(pred, jnp.int32(1), jnp.int32(0))
             return st
 
@@ -452,24 +492,28 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                 got, fstart + jnp.int32(frame_nsamples) - overscan,
                 jnp.where(no_conf, try_max, jnp.int32(0)))
 
-            # ---- events (order: drop-report, acquire, frame) ----
-            st2 = st
-            drop_pay = jnp.stack([
+            # ---- event: exactly one record per eventful iteration ----
+            # drop-report -> NOCARRIER; frame -> FRAME (with the ACQUIRED
+            # flag folded in; the host renderer expands it to a CARRIER
+            # event + codec reset before the frame)
+            zb_u = jnp.zeros((B,), jnp.uint32)
+            drop_rec = jnp.stack([
                 st["nframes"].view(jnp.uint32),
                 st["conf_total"].view(jnp.uint32),
                 st["ampl_total"].view(jnp.uint32),
                 st["carrier_nsamples"].view(jnp.uint32),
-                jnp.zeros((B,), jnp.uint32), jnp.zeros((B,), jnp.uint32)],
-                axis=1)
-            st2 = emit_if(drop_report, st2, jnp.int32(EV_NOCARRIER),
-                          drop_pay)
-            st2 = emit_if(acquired, st2, jnp.int32(EV_CARRIER),
-                          jnp.zeros((B, 6), jnp.uint32))
-            frame_pay = jnp.stack([
+                zb_u,
+                zb_u,
+                jnp.full((B,), EV_NOCARRIER, jnp.uint32),
+                zb_u], axis=1)
+            frame_type = (jnp.uint32(EV_FRAME)
+                          + jnp.where(acquired, jnp.uint32(EV_FLAG_ACQUIRED),
+                                      jnp.uint32(0)))
+            frame_rec = jnp.stack([
                 blo, bhi, conf.view(jnp.uint32), ampl.view(jnp.uint32),
-                fstart.view(jnp.uint32), jnp.zeros((B,), jnp.uint32)],
-                axis=1)
-            st2 = emit_if(got, st2, jnp.int32(EV_FRAME), frame_pay)
+                fstart.view(jnp.uint32), zb_u, frame_type, zb_u], axis=1)
+            record = jnp.where(drop_report[:, None], drop_rec, frame_rec)
+            st2 = emit_if(jnp.logical_or(got, drop_report), st, record)
 
             # ---- state update (inactive streams freeze) ----
             reset_stats = drop_report
@@ -495,18 +539,19 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
 
         if finalize:
             # end-of-stream: final NOCARRIER stats if still on carrier
-            final_pay = jnp.stack([
+            zb_u = jnp.zeros((B,), jnp.uint32)
+            final_rec = jnp.stack([
                 st["nframes"].view(jnp.uint32),
                 st["conf_total"].view(jnp.uint32),
                 st["ampl_total"].view(jnp.uint32),
                 st["carrier_nsamples"].view(jnp.uint32),
-                jnp.zeros((B,), jnp.uint32), jnp.zeros((B,), jnp.uint32)],
-                axis=1)
-            st = emit_if(st["carrier"], st, jnp.int32(EV_NOCARRIER),
-                         final_pay)
+                zb_u, zb_u,
+                jnp.full((B,), EV_NOCARRIER, jnp.uint32),
+                zb_u], axis=1)
+            st = emit_if(st["carrier"], st, final_rec)
 
         carry_out = {k: st[k] for k in CARRY_FIELDS}
-        return st["ev_type"], st["ev_pay"], st["n_events"], carry_out
+        return st["ev"], st["n_events"], carry_out
 
     return jax.jit(receiver), max_events, geo
 
@@ -569,7 +614,7 @@ class DeviceLoopback:
             bsz = bits.shape[0]
             x = jnp.zeros((bsz, pad_to), jnp.float32)
             x = jax.lax.dynamic_update_slice(x, s, (0, 0))
-            return rx_fn(x, total, thr, lim, carry)[:3]
+            return rx_fn(x, total, thr, lim, carry)[:2]
 
         fn = jax.jit(loop)
         self._fns[b_pad] = fn
@@ -587,18 +632,19 @@ class DeviceLoopback:
             bits[i, :len(s)] = s
         totals = np.asarray([n * self.bit_ns for n in b_real], np.int32)
         fn = self._fn_for(b_pad)
-        ev_type, ev_pay, n = fn(
+        ev, n = fn(
             jnp.asarray(bits), jnp.asarray(totals),
             np.float32(conf_threshold), np.float32(conf_search_limit),
             zero_carry(len(sched_list)))
-        return np.asarray(ev_type), np.asarray(ev_pay), np.asarray(n)
+        ev = np.asarray(ev)
+        n = np.asarray(n)
+        return [unpack_events(ev[i], int(n[i]))
+                for i in range(len(sched_list))]
 
     def run_events(self, sched_bits: np.ndarray, conf_threshold: float = 1.5,
                    conf_search_limit: float = 2.3):
-        ev_type, ev_pay, n = self.run_events_batch(
-            [sched_bits], conf_threshold, conf_search_limit)
-        k = int(n[0])
-        return ev_type[0, :k], ev_pay[0, :k]
+        return self.run_events_batch(
+            [sched_bits], conf_threshold, conf_search_limit)[0]
 
 
 class DeviceReceiver:
@@ -615,9 +661,10 @@ class DeviceReceiver:
                          conf_threshold: float, conf_search_limit: float,
                          carry=None, finalize: bool = True):
         """samples: [B, L] (int16 or float32); totals: [B] valid lengths.
-        Returns (ev_type [B, E], ev_pay [B, E, 6], n_events [B],
-        carry_out dict) — pass carry_out back in (with finalize=False on
-        all but the last segment) for streaming decode."""
+        Returns (events, carry_out) where events is a list of per-stream
+        (ev_type [M_i], ev_pay [M_i, 6]) pairs — pass carry_out back in
+        (with finalize=False on all but the last segment) for streaming
+        decode."""
         b, L = samples.shape
         totals = np.asarray(totals, np.int32)
         t_total = _round_up_pow2(
@@ -630,21 +677,22 @@ class DeviceReceiver:
         x[:, :min(L, t_total + geo.halo)] = samples[:, :t_total + geo.halo]
         if carry is None:
             carry = zero_carry(b)
-        ev_type, ev_pay, n, carry_out = fn(
+        ev, n, carry_out = fn(
             jnp.asarray(x), jnp.asarray(totals),
             np.float32(conf_threshold), np.float32(conf_search_limit),
             carry)
-        return (np.asarray(ev_type), np.asarray(ev_pay), np.asarray(n),
-                {k: np.asarray(v) for k, v in carry_out.items()})
+        ev = np.asarray(ev)
+        n = np.asarray(n)
+        events = [unpack_events(ev[i], int(n[i])) for i in range(b)]
+        return events, {k: np.asarray(v) for k, v in carry_out.items()}
 
     def run_events(self, samples: np.ndarray, conf_threshold: float,
                    conf_search_limit: float):
         """Single-stream convenience wrapper."""
-        ev_type, ev_pay, n, _ = self.run_events_batch(
+        events, _ = self.run_events_batch(
             samples[None, :], [len(samples)],
             conf_threshold, conf_search_limit)
-        k = int(n[0])
-        return ev_type[0, :k], ev_pay[0, :k]
+        return events[0]
 
 
 class DeviceStreamReceiver:
@@ -684,12 +732,11 @@ class DeviceStreamReceiver:
             total = max(
                 0, len(samples) - self._lookahead + self.cfg.expect_nsamples)
             total = min(total, len(samples))
-        ev_t, ev_p, n, carry = self.rx.run_events_batch(
+        events, carry = self.rx.run_events_batch(
             samples[None, :], [total], self.thr, self.lim,
             self._carry, finalize)
         self._carry = carry
-        k = int(n[0])
-        return ev_t[0, :k], ev_p[0, :k]
+        return events[0]
 
     def feed(self, samples: np.ndarray):
         """Returns (ev_type, ev_pay) decoded so far from complete segments."""

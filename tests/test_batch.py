@@ -37,15 +37,15 @@ def test_batched_receiver_matches_single():
     totals = [len(w) for w in waves]
 
     rxer = DeviceReceiver(m.cfg)
-    ev_t, ev_p, n, _ = rxer.run_events_batch(batch, totals, 1.5, 2.3)
+    events, _ = rxer.run_events_batch(batch, totals, 1.5, 2.3)
     for i, p in enumerate(payloads):
-        k = int(n[i])
-        got = _render(m.cfg, ev_t[i, :k], ev_p[i, :k])
+        et, ep = events[i]
+        got = _render(m.cfg, et, ep)
         assert got == p, (i, got, p)
         # single-stream must agree exactly
         st, sp = rxer.run_events(waves[i], 1.5, 2.3)
-        assert np.array_equal(st, ev_t[i, :k])
-        assert np.array_equal(sp, ev_p[i, :k])
+        assert np.array_equal(st, et)
+        assert np.array_equal(sp, ep)
 
 
 def test_batched_loopback():
@@ -53,7 +53,7 @@ def test_batched_loopback():
     payloads = [b"alpha stream", b"beta stream, longer than alpha"]
     scheds = [tx_bit_schedule(p, m.cfg, Ascii8Codec()) for p in payloads]
     lb = DeviceLoopback(m.cfg)
-    ev_t, ev_p, n = lb.run_events_batch(scheds)
+    events = lb.run_events_batch(scheds)
     for i, p in enumerate(payloads):
-        k = int(n[i])
-        assert _render(m.cfg, ev_t[i, :k], ev_p[i, :k]) == p
+        et, ep = events[i]
+        assert _render(m.cfg, et, ep) == p
