@@ -470,7 +470,7 @@ def main(argv=None) -> int:
     else:
         codec = get_codec(decoder_name)
 
-    from .rx.engine import Receiver, ScoreProvider
+    from .rx.engine import Receiver
 
     out = sys.stdout.buffer
 

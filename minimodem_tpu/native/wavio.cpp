@@ -67,7 +67,9 @@ long long mm_wav_write(const char* path, int rate, int channels, int fmt,
     // chunk layout matches sigio/wavfile.py: fmt [+ fact if float] + data
     uint32_t chunks_bytes = sizeof(ChunkHdr) + data_bytes;
     if (tag == WAVE_IEEE_FLOAT) chunks_bytes += sizeof(ChunkHdr) + 4;
-    hdr.riff_size = 4 + (sizeof(WavHeaderPCM) - 8) + chunks_bytes;
+    // riff_size counts everything after the 8-byte RIFF header; the
+    // struct's first 8 bytes are that header
+    hdr.riff_size = (sizeof(WavHeaderPCM) - 8) + chunks_bytes;
 
     if (std::fwrite(&hdr, sizeof(hdr), 1, f) != 1) { std::fclose(f); return -1; }
     if (tag == WAVE_IEEE_FLOAT) {

@@ -49,10 +49,14 @@ _DIRECT_CONV_MAX_NB = 4096
 
 
 def _pallas_eligible(geo) -> bool:
-    """Use the Pallas MXU kernel for float32 geometries on TPU backends."""
+    """Use the Pallas MXU kernel for float32 geometries on TPU backends.
+
+    Opt-in (MINIMODEM_TPU_PALLAS=1): stage 1 costs ~40us per 4M offsets on
+    either path, and the manual-DMA kernel does not auto-batch under vmap
+    (the batched receiver vmaps the scorer)."""
     import os
 
-    if os.environ.get("MINIMODEM_TPU_NO_PALLAS"):
+    if os.environ.get("MINIMODEM_TPU_PALLAS") != "1":
         return False
     if geo.use_f64:
         return False

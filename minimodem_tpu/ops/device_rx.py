@@ -291,9 +291,12 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
         finalize=False the end-of-stream NOCARRIER report is suppressed
         and carry_out continues into the next segment.
         """
-        packed = jax.vmap(score_arrays)(x)        # [B, 8, T] uint32
         B = x.shape[0]
         brange = jnp.arange(B)
+        # flatten to 2-D [B*8, T]: a 3-D [B, 8, T] form tempts XLA into an
+        # (8,128)-tiling over the two small dims (~16-32x memory inflation)
+        packed = jax.vmap(score_arrays)(x).reshape(B * 8, -1)
+        row0 = (brange * 8).astype(jnp.int32)
 
         # all candidate offsets lie in [0, W): slice one contiguous window
         # per stream per iteration and do every lookup as one-hot vector
@@ -308,9 +311,8 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
         def slice_windows(pos):
             """ONE packed-window slice per stream: [B, 8, W] uint32."""
             return jax.vmap(
-                lambda row, p: jax.lax.dynamic_slice(
-                    row, (jnp.int32(0), p), (8, W))
-            )(packed, pos)
+                lambda r0, p: jax.lax.dynamic_slice(packed, (r0, p), (8, W))
+            )(row0, pos)
 
         def find_frame(wins, geo_i, expect_i, fine_i, limit):
             """Replay fsk_find_frame's ordered scan with early exit
@@ -382,25 +384,21 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
 
         state0 = dict(carry)
         state0["n_events"] = jnp.zeros((B,), jnp.int32)
-        # packed event log [B, 8, E] uint32: channels 0-5 payload,
-        # 6 = type | flags<<8, 7 unused.  (E minormost for sane tiling;
-        # one dynamic_update_slice per stream per iteration.)
-        state0["ev"] = jnp.zeros((B, 8, max_events), jnp.uint32)
+        # packed event log [8, B, E] uint32: channels 0-5 payload,
+        # 6 = type | flags<<8, 7 unused.  (channel dim majormost so the
+        # (8,128) tiling lands on (B, E) without padding blowup; one
+        # scatter per iteration.)
+        state0["ev"] = jnp.zeros((8, B, max_events), jnp.uint32)
 
         def emit_if(pred, st, record8):
-            """Per-stream conditional append: blend the new [8] record with
-            the existing column at each stream's slot, write back with ONE
-            update per stream.  pred: [B]; record8: [B, 8]."""
+            """Per-stream conditional append: blend the new record with the
+            existing column at each stream's slot, write back with ONE
+            scatter.  pred: [B]; record8: [B, 8]."""
             i = st["n_events"]
             st = dict(st)
-
-            def upd(row, rec, p, ii):
-                old = jax.lax.dynamic_slice(row, (jnp.int32(0), ii), (8, 1))
-                new = jnp.where(p, rec[:, None], old)
-                return jax.lax.dynamic_update_slice(
-                    row, new, (jnp.int32(0), ii))
-
-            st["ev"] = jax.vmap(upd)(st["ev"], record8, pred, i)
+            old = st["ev"][:, brange, i]                  # [8, B]
+            new = jnp.where(pred[None, :], record8.T, old)
+            st["ev"] = st["ev"].at[:, brange, i].set(new)
             st["n_events"] = i + jnp.where(pred, jnp.int32(1), jnp.int32(0))
             return st
 
@@ -636,9 +634,9 @@ class DeviceLoopback:
             jnp.asarray(bits), jnp.asarray(totals),
             np.float32(conf_threshold), np.float32(conf_search_limit),
             zero_carry(len(sched_list)))
-        ev = np.asarray(ev)
+        ev = np.asarray(ev)                       # [8, B, E]
         n = np.asarray(n)
-        return [unpack_events(ev[i], int(n[i]))
+        return [unpack_events(ev[:, i, :], int(n[i]))
                 for i in range(len(sched_list))]
 
     def run_events(self, sched_bits: np.ndarray, conf_threshold: float = 1.5,
@@ -681,9 +679,9 @@ class DeviceReceiver:
             jnp.asarray(x), jnp.asarray(totals),
             np.float32(conf_threshold), np.float32(conf_search_limit),
             carry)
-        ev = np.asarray(ev)
+        ev = np.asarray(ev)                       # [8, B, E]
         n = np.asarray(n)
-        events = [unpack_events(ev[i], int(n[i])) for i in range(b)]
+        events = [unpack_events(ev[:, i, :], int(n[i])) for i in range(b)]
         return events, {k: np.asarray(v) for k, v in carry_out.items()}
 
     def run_events(self, samples: np.ndarray, conf_threshold: float,

@@ -22,7 +22,7 @@ reference src/minimodem.c:81-250.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterable, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..config import ModemConfig, TxOptions
+from ..config import ModemConfig
 
 
 def uniform_bits_supported(cfg: ModemConfig) -> bool:

@@ -20,7 +20,6 @@ framework's analogue of a training step for the multi-chip dry run.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
