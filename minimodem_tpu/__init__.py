@@ -42,3 +42,11 @@ if _cache_dir:
 __version__ = "0.1.0"
 
 from .config import ModemConfig, RxOptions, TxOptions  # noqa: E402,F401
+
+
+def __getattr__(name):
+    # lazy: importing FskModem pulls in the ops stack
+    if name == "FskModem":
+        from .models.modem import FskModem
+        return FskModem
+    raise AttributeError(name)

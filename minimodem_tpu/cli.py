@@ -36,7 +36,7 @@ _LONG_OPTS = [
     "float-samples", "rx-one", "benchmarks", "binary-output", "binary-raw=",
     "print-filter", "print-eot", "Xrxnoise=", "tx-carrier",
     # extensions beyond the reference:
-    "precision=", "synth-backend=", "chunk-len=",
+    "precision=", "synth-backend=", "chunk-len=", "engine=",
 ]
 
 USAGE = """usage: minimodem-tpu [--tx|--rx] [options] {baudmode}
@@ -151,6 +151,7 @@ def main(argv=None) -> int:
     precision = "auto"
     synth_backend = "numpy"
     chunk_len = 1 << 17
+    engine = "auto"
     run_benchmarks = False
 
     encoder_name = "ascii8"
@@ -252,6 +253,11 @@ def main(argv=None) -> int:
             synth_backend = val
         elif opt == "--chunk-len":
             chunk_len = _atoi(val)
+        elif opt == "--engine":
+            if val not in ("auto", "device", "host", "host-native"):
+                sys.stderr.write(f"E: unknown engine {val!r}\n")
+                return 1
+            engine = val
         elif opt == "-T":
             _usage()  # reference accepts -T in optstring but has no case
         else:
@@ -479,7 +485,7 @@ def main(argv=None) -> int:
         out.flush()
 
     rxer = Receiver(cfg, rx_opts, codec, write_out)
-    ret = rxer.run(samples)
+    ret = rxer.run(samples, engine=engine)
     return -ret if ret < 0 else ret
 
 
