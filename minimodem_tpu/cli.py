@@ -451,6 +451,13 @@ def main(argv=None) -> int:
         sys.stderr.write(f"E: {e}\n")
         return 1
 
+    # the demodulator is single-channel (reference: src/simpleaudio.c:123-128)
+    if stream.channels != nchannels:
+        sys.stderr.write(
+            f"{filename}: input stream must be {nchannels}-channel "
+            f"(not {stream.channels})\n")
+        return 1
+
     # S16 fast path: when the file is PCM16 and no read-noise is injected,
     # ship raw int16 to the device and normalize on-chip (identical values,
     # half the transfer)
