@@ -36,7 +36,7 @@ _LONG_OPTS = [
     "float-samples", "rx-one", "benchmarks", "binary-output", "binary-raw=",
     "print-filter", "print-eot", "Xrxnoise=", "tx-carrier",
     # extensions beyond the reference:
-    "precision=", "synth-backend=", "chunk-len=", "engine=",
+    "precision=", "synth-backend=", "chunk-len=", "engine=", "Xprofile=",
 ]
 
 USAGE = """usage: minimodem-tpu [--tx|--rx] [options] {baudmode}
@@ -152,6 +152,7 @@ def main(argv=None) -> int:
     synth_backend = "numpy"
     chunk_len = 1 << 17
     engine = "auto"
+    profile_dir = None
     run_benchmarks = False
 
     encoder_name = "ascii8"
@@ -258,6 +259,8 @@ def main(argv=None) -> int:
                 sys.stderr.write(f"E: unknown engine {val!r}\n")
                 return 1
             engine = val
+        elif opt == "--Xprofile":
+            profile_dir = val
         elif opt == "-T":
             _usage()  # reference accepts -T in optstring but has no case
         else:
@@ -492,7 +495,14 @@ def main(argv=None) -> int:
         out.flush()
 
     rxer = Receiver(cfg, rx_opts, codec, write_out)
-    ret = rxer.run(samples, engine=engine)
+    if profile_dir:
+        # observability hook: xprof/tensorboard trace of the decode
+        # (the TPU analogue of the reference's FSK_DEBUG stderr tracing)
+        import jax
+        with jax.profiler.trace(profile_dir):
+            ret = rxer.run(samples, engine=engine)
+    else:
+        ret = rxer.run(samples, engine=engine)
     return -ret if ret < 0 else ret
 
 
