@@ -105,6 +105,7 @@ def device_rx_key(cfg: ModemConfig, precision: str = "auto"):
         int(np.float32(geo.magscalar).view(np.uint32)),
         geo.bit_begin, geo.n_bits, geo.req_data, geo.req_sync, geo.use_f64,
         cfg.frame_nsamples, cfg.nsamples_overscan, cfg.expect_nsamples,
+        cfg.msb_first, cfg.do_rx_sync, cfg.sync_byte,
     )
 
 
@@ -131,18 +132,31 @@ def zero_carry(batch: int) -> dict:
 @functools.lru_cache(maxsize=32)
 def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                      input_dtype: str = "float32",
-                     finalize: bool = True):
+                     finalize: bool = True,
+                     compact: bool = False):
     """Compile the full device receiver for a fixed scored length
     t_total (>= stream length in samples).
 
     input_dtype "int16" accepts raw PCM16 samples and normalizes them on
     device (x/32768, the libsndfile convention the reference relies on,
     reference: sf_readf_float in src/simpleaudio-sndfile.c:49) — halving
-    the host->device transfer for S16 sources."""
+    the host->device transfer for S16 sources.
+
+    compact=True (requires n_data_bits <= 8): frame bits are post-processed
+    to data bytes ON DEVICE (stop-strip, bit window, msb reversal,
+    sync-byte suppression — reference: src/minimodem.c:1414-1443) into a
+    1-byte-per-frame stream; only carrier-transition control events use the
+    wide event log.  This shrinks the device->host result from ~32 bytes
+    per frame to ~1, which is what the host link actually bounds."""
     (sample_rate, data_rate_bits, n_data_bits, nstartbits, nstopbits_bits,
      b_mark, b_space, fftsize, nb, magscalar_bits, bit_begin, n_bits,
      req_data, req_sync, use_f64, frame_nsamples, overscan,
-     expect_nsamples) = cfg_key
+     expect_nsamples, msb_first, do_rx_sync, sync_byte) = cfg_key
+
+    nstop_shift = 0 if np.uint32(nstopbits_bits).view(np.float32) == 0 else 1
+    if compact:
+        assert n_data_bits <= 8, "compact mode needs <=8 data bits"
+        assert nstop_shift + nstartbits + n_data_bits <= 32
 
     geo = DemodGeometry(
         nb=nb, fftsize=fftsize, b_mark=b_mark, b_space=b_space,
@@ -389,6 +403,9 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
         # (8,128) tiling lands on (B, E) without padding blowup; one
         # scatter per iteration.)
         state0["ev"] = jnp.zeros((8, B, max_events), jnp.uint32)
+        if compact:
+            state0["n_bytes"] = jnp.zeros((B,), jnp.int32)
+            state0["bytes_buf"] = jnp.zeros((B, max_events), jnp.uint8)
 
         def emit_if(pred, st, record8):
             """Per-stream conditional append: blend the new record with the
@@ -490,28 +507,72 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                 got, fstart + jnp.int32(frame_nsamples) - overscan,
                 jnp.where(no_conf, try_max, jnp.int32(0)))
 
-            # ---- event: exactly one record per eventful iteration ----
-            # drop-report -> NOCARRIER; frame -> FRAME (with the ACQUIRED
-            # flag folded in; the host renderer expands it to a CARRIER
-            # event + codec reset before the frame)
+            # ---- event emission ----
             zb_u = jnp.zeros((B,), jnp.uint32)
-            drop_rec = jnp.stack([
-                st["nframes"].view(jnp.uint32),
-                st["conf_total"].view(jnp.uint32),
-                st["ampl_total"].view(jnp.uint32),
-                st["carrier_nsamples"].view(jnp.uint32),
-                zb_u,
-                zb_u,
-                jnp.full((B,), EV_NOCARRIER, jnp.uint32),
-                zb_u], axis=1)
-            frame_type = (jnp.uint32(EV_FRAME)
-                          + jnp.where(acquired, jnp.uint32(EV_FLAG_ACQUIRED),
-                                      jnp.uint32(0)))
-            frame_rec = jnp.stack([
-                blo, bhi, conf.view(jnp.uint32), ampl.view(jnp.uint32),
-                fstart.view(jnp.uint32), zb_u, frame_type, zb_u], axis=1)
-            record = jnp.where(drop_report[:, None], drop_rec, frame_rec)
-            st2 = emit_if(jnp.logical_or(got, drop_report), st, record)
+            if compact:
+                # NOCARRIER/CARRIER control records carry the byte-stream
+                # position; frame data goes to the byte stream instead
+                bpos = st["n_bytes"].view(jnp.uint32)
+                drop_rec = jnp.stack([
+                    st["nframes"].view(jnp.uint32),
+                    st["conf_total"].view(jnp.uint32),
+                    st["ampl_total"].view(jnp.uint32),
+                    st["carrier_nsamples"].view(jnp.uint32),
+                    bpos, zb_u,
+                    jnp.full((B,), EV_NOCARRIER, jnp.uint32),
+                    zb_u], axis=1)
+                carrier_rec = jnp.stack([
+                    bpos, zb_u, zb_u, zb_u, zb_u, zb_u,
+                    jnp.full((B,), EV_CARRIER, jnp.uint32),
+                    zb_u], axis=1)
+                record = jnp.where(drop_report[:, None], drop_rec,
+                                   carrier_rec)
+                st2 = emit_if(jnp.logical_or(acquired, drop_report), st,
+                              record)
+
+                # device-side frame-bit post-processing
+                # (reference: src/minimodem.c:1414-1443)
+                word = (blo >> jnp.uint32(nstop_shift + nstartbits)) \
+                    & jnp.uint32((1 << n_data_bits) - 1)
+                if msb_first:
+                    rev = jnp.zeros_like(word)
+                    for k in range(n_data_bits):
+                        rev = rev | (((word >> jnp.uint32(k))
+                                      & jnp.uint32(1))
+                                     << jnp.uint32(n_data_bits - 1 - k))
+                    word = rev
+                emit_byte = got
+                if do_rx_sync:
+                    emit_byte = jnp.logical_and(
+                        got, word != jnp.uint32(sync_byte & 0xFF))
+                ib = st["n_bytes"]
+                oldb = st2["bytes_buf"][brange, ib]
+                newb = jnp.where(emit_byte, word.astype(jnp.uint8), oldb)
+                st2["bytes_buf"] = st2["bytes_buf"].at[brange, ib].set(newb)
+                st2["n_bytes"] = ib + jnp.where(emit_byte, jnp.int32(1),
+                                                jnp.int32(0))
+            else:
+                # wide records: frame payload inline (with the ACQUIRED
+                # flag folded in; the host renderer expands it to a
+                # CARRIER event + codec reset before the frame)
+                drop_rec = jnp.stack([
+                    st["nframes"].view(jnp.uint32),
+                    st["conf_total"].view(jnp.uint32),
+                    st["ampl_total"].view(jnp.uint32),
+                    st["carrier_nsamples"].view(jnp.uint32),
+                    zb_u,
+                    zb_u,
+                    jnp.full((B,), EV_NOCARRIER, jnp.uint32),
+                    zb_u], axis=1)
+                frame_type = (jnp.uint32(EV_FRAME)
+                              + jnp.where(acquired,
+                                          jnp.uint32(EV_FLAG_ACQUIRED),
+                                          jnp.uint32(0)))
+                frame_rec = jnp.stack([
+                    blo, bhi, conf.view(jnp.uint32), ampl.view(jnp.uint32),
+                    fstart.view(jnp.uint32), zb_u, frame_type, zb_u], axis=1)
+                record = jnp.where(drop_report[:, None], drop_rec, frame_rec)
+                st2 = emit_if(jnp.logical_or(got, drop_report), st, record)
 
             # ---- state update (inactive streams freeze) ----
             reset_stats = drop_report
@@ -538,20 +599,47 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
         if finalize:
             # end-of-stream: final NOCARRIER stats if still on carrier
             zb_u = jnp.zeros((B,), jnp.uint32)
+            bpos = (st["n_bytes"].view(jnp.uint32) if compact else zb_u)
             final_rec = jnp.stack([
                 st["nframes"].view(jnp.uint32),
                 st["conf_total"].view(jnp.uint32),
                 st["ampl_total"].view(jnp.uint32),
                 st["carrier_nsamples"].view(jnp.uint32),
-                zb_u, zb_u,
+                bpos, zb_u,
                 jnp.full((B,), EV_NOCARRIER, jnp.uint32),
                 zb_u], axis=1)
             st = emit_if(st["carrier"], st, final_rec)
 
         carry_out = {k: st[k] for k in CARRY_FIELDS}
+        if compact:
+            return (st["ev"], st["n_events"], st["bytes_buf"],
+                    st["n_bytes"], carry_out)
         return st["ev"], st["n_events"], carry_out
 
     return jax.jit(receiver), max_events, geo
+
+
+def _collect_results(out, b: int, compact: bool):
+    """Pull device results with minimal transfer: event logs are sliced to
+    the used prefix before crossing the host link.  Returns per-stream
+    tuples — (ev_type, ev_pay) or (ev_type, ev_pay, byte_stream)."""
+    if compact:
+        ev, n, bytes_buf, n_bytes = out
+        n = np.asarray(n)
+        nb = np.asarray(n_bytes)
+        kmax = max(int(n.max(initial=0)), 1)
+        bmax = max(int(nb.max(initial=0)), 1)
+        ev = np.asarray(ev[:, :, :kmax])
+        bb = np.asarray(bytes_buf[:, :bmax])
+        return [
+            (*unpack_events(ev[:, i, :], int(n[i])), bb[i, :int(nb[i])])
+            for i in range(b)
+        ]
+    ev, n = out
+    n = np.asarray(n)
+    kmax = max(int(n.max(initial=0)), 1)
+    ev = np.asarray(ev[:, :, :kmax])
+    return [unpack_events(ev[:, i, :], int(n[i])) for i in range(b)]
 
 
 def _round_up_pow2(n: int, floor: int = 1 << 14) -> int:
@@ -602,7 +690,9 @@ class DeviceLoopback:
         cfg = self.cfg
         t_total = _round_up_pow2(
             b_pad * self.bit_ns + cfg.nsamples_overscan + 1)
-        rx_fn, _, geo = _build_device_rx(self.key, t_total, self._rx_one)
+        compact = cfg.n_data_bits <= 8
+        rx_fn, _, geo = _build_device_rx(
+            self.key, t_total, self._rx_one, "float32", True, compact)
         pad_to = t_total + geo.halo
         amp = self._amplitude
 
@@ -612,15 +702,17 @@ class DeviceLoopback:
             bsz = bits.shape[0]
             x = jnp.zeros((bsz, pad_to), jnp.float32)
             x = jax.lax.dynamic_update_slice(x, s, (0, 0))
-            return rx_fn(x, total, thr, lim, carry)[:2]
+            out = rx_fn(x, total, thr, lim, carry)
+            return out[:-1]  # drop carry
 
         fn = jax.jit(loop)
-        self._fns[b_pad] = fn
-        return fn
+        self._fns[b_pad] = (fn, compact)
+        return fn, compact
 
     def run_events_batch(self, sched_list, conf_threshold: float = 1.5,
                          conf_search_limit: float = 2.3):
-        """sched_list: list of uint8 bit schedules (one per stream)."""
+        """sched_list: list of uint8 bit schedules (one per stream).
+        Returns per-stream event tuples (see _collect_results)."""
         import jax.numpy as jnp
 
         b_real = [len(s) for s in sched_list]
@@ -629,15 +721,12 @@ class DeviceLoopback:
         for i, s in enumerate(sched_list):
             bits[i, :len(s)] = s
         totals = np.asarray([n * self.bit_ns for n in b_real], np.int32)
-        fn = self._fn_for(b_pad)
-        ev, n = fn(
+        fn, compact = self._fn_for(b_pad)
+        out = fn(
             jnp.asarray(bits), jnp.asarray(totals),
             np.float32(conf_threshold), np.float32(conf_search_limit),
             zero_carry(len(sched_list)))
-        ev = np.asarray(ev)                       # [8, B, E]
-        n = np.asarray(n)
-        return [unpack_events(ev[:, i, :], int(n[i]))
-                for i in range(len(sched_list))]
+        return _collect_results(out, len(sched_list), compact)
 
     def run_events(self, sched_bits: np.ndarray, conf_threshold: float = 1.5,
                    conf_search_limit: float = 2.3):
@@ -650,19 +739,23 @@ class DeviceReceiver:
     returns the event list."""
 
     def __init__(self, cfg: ModemConfig, precision: str = "auto",
-                 rx_one: bool = False):
+                 rx_one: bool = False, compact: str = "auto"):
         self.cfg = cfg
         self.key = device_rx_key(cfg, precision)
         self.rx_one = rx_one
+        if compact == "auto":
+            self.compact = cfg.n_data_bits <= 8
+        else:
+            self.compact = bool(compact)
 
     def run_events_batch(self, samples: np.ndarray, totals,
                          conf_threshold: float, conf_search_limit: float,
                          carry=None, finalize: bool = True):
         """samples: [B, L] (int16 or float32); totals: [B] valid lengths.
         Returns (events, carry_out) where events is a list of per-stream
-        (ev_type [M_i], ev_pay [M_i, 6]) pairs — pass carry_out back in
-        (with finalize=False on all but the last segment) for streaming
-        decode."""
+        tuples — (ev_type, ev_pay) or, in compact mode, (ev_type, ev_pay,
+        byte_stream).  Pass carry_out back in (with finalize=False on all
+        but the last segment) for streaming decode."""
         b, L = samples.shape
         totals = np.asarray(totals, np.int32)
         t_total = _round_up_pow2(
@@ -670,18 +763,18 @@ class DeviceReceiver:
         geo = geometry_from_config(self.cfg)
         in_dtype = "int16" if samples.dtype == np.int16 else "float32"
         fn, max_events, _ = _build_device_rx(
-            self.key, t_total, self.rx_one, in_dtype, finalize)
+            self.key, t_total, self.rx_one, in_dtype, finalize,
+            self.compact)
         x = np.zeros((b, t_total + geo.halo), samples.dtype)
         x[:, :min(L, t_total + geo.halo)] = samples[:, :t_total + geo.halo]
         if carry is None:
             carry = zero_carry(b)
-        ev, n, carry_out = fn(
+        out = fn(
             jnp.asarray(x), jnp.asarray(totals),
             np.float32(conf_threshold), np.float32(conf_search_limit),
             carry)
-        ev = np.asarray(ev)                       # [8, B, E]
-        n = np.asarray(n)
-        events = [unpack_events(ev[:, i, :], int(n[i])) for i in range(b)]
+        carry_out = out[-1]
+        events = _collect_results(out[:-1], b, self.compact)
         return events, {k: np.asarray(v) for k, v in carry_out.items()}
 
     def run_events(self, samples: np.ndarray, conf_threshold: float,
@@ -706,7 +799,9 @@ class DeviceStreamReceiver:
                  conf_search_limit: float = 2.3):
         from ..utils.cfloat import trunc_i
 
-        self.rx = DeviceReceiver(cfg, precision, rx_one)
+        # streaming keeps the wide event path: byte positions in compact
+        # records are per-segment and would need rebasing
+        self.rx = DeviceReceiver(cfg, precision, rx_one, compact=False)
         self.cfg = cfg
         geo = geometry_from_config(cfg, precision)
         # scanning a non-final segment must stop early enough that every

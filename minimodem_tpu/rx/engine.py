@@ -172,10 +172,10 @@ class Receiver:
         opts = self.opts
         rxer = DeviceReceiver(self.cfg, opts.precision, opts.rx_one)
         dtype = np.int16 if samples.dtype == np.int16 else np.float32
-        ev_type, ev_pay = rxer.run_events(
+        result = rxer.run_events(
             np.ascontiguousarray(samples, dtype),
             opts.confidence_threshold, opts.confidence_search_limit)
-        return self.render_events(ev_type, ev_pay)
+        return self.render_events(*result)
 
     # ------------------------------------------------------------------
     def _run_host_native(self, samples: np.ndarray) -> int:
@@ -242,12 +242,67 @@ class Receiver:
         return self.render_events(ev_type[:n], ev_pay[:n])
 
     # ------------------------------------------------------------------
-    def render_events(self, ev_type, ev_pay) -> int:
-        """Render an RX event stream: codec bytes + protocol lines."""
+    def _render_carrier_line(self) -> None:
+        cfg = self.cfg
+        freq = float(f32_mul(cfg.b_mark, cfg.band_width))
+        if float(cfg.data_rate) >= 100:
+            self.write_err("### CARRIER %u @ %.1f Hz ###\n"
+                           % (round_half_up_i(cfg.data_rate), freq))
+        else:
+            self.write_err("### CARRIER %.2f @ %.1f Hz ###\n"
+                           % (float(cfg.data_rate), freq))
+
+    def _flush_bytes(self, arr) -> None:
+        """Run decoded data bytes through the codec + output filter."""
+        from ..codecs.ascii import Ascii8Codec
+
+        if len(arr) == 0:
+            return
+        opts = self.opts
+        if isinstance(self.codec, Ascii8Codec) and not opts.print_filter:
+            self.write_out(bytes(bytearray(arr)))
+            return
+        for b in arr:
+            data = self.codec.decode(int(b), self.cfg.n_data_bits)
+            if not data:
+                continue
+            if opts.print_filter:
+                data = bytes(
+                    c if (32 <= c < 127 or c in (9, 10, 11, 12, 13, 32))
+                    else ord(".") for c in data)
+            self.write_out(data)
+
+    def render_events(self, ev_type, ev_pay, byte_stream=None) -> int:
+        """Render an RX event stream: codec bytes + protocol lines.
+
+        byte_stream (compact mode): per-frame data bytes already
+        post-processed on device; events are carrier transitions carrying
+        their byte-stream positions."""
         from ..ops.device_rx import EV_CARRIER, EV_FRAME, EV_NOCARRIER
 
         cfg = self.cfg
         opts = self.opts
+
+        if byte_stream is not None:
+            pos = 0
+            for k in range(len(ev_type)):
+                et = int(ev_type[k])
+                pay = ev_pay[k]
+                bpos = int(pay[0]) if et == EV_CARRIER else int(pay[4])
+                self._flush_bytes(byte_stream[pos:bpos])
+                pos = bpos
+                if et == EV_CARRIER:
+                    if not opts.quiet:
+                        self._render_carrier_line()
+                    self.codec.reset()
+                elif et == EV_NOCARRIER:
+                    if not opts.quiet:
+                        self._report_no_carrier(
+                            int(pay[0]), int(pay[3]),
+                            pay[1].view(np.float32),
+                            pay[2].view(np.float32))
+            self._flush_bytes(byte_stream[pos:])
+            return 0
         for k in range(len(ev_type)):
             et = int(ev_type[k])
             pay = ev_pay[k]

@@ -13,11 +13,11 @@ from minimodem_tpu.ops.tx_device import tx_bit_schedule
 from minimodem_tpu.rx.engine import Receiver
 
 
-def _render(cfg, ev_t, ev_p):
+def _render(cfg, *event_parts):
     sink = io.BytesIO()
     rx = Receiver(cfg, RxOptions(), get_codec("ascii8"),
                   sink.write, lambda s: None)
-    rx.render_events(ev_t, ev_p)
+    rx.render_events(*event_parts)
     return sink.getvalue()
 
 
@@ -39,13 +39,12 @@ def test_batched_receiver_matches_single():
     rxer = DeviceReceiver(m.cfg)
     events, _ = rxer.run_events_batch(batch, totals, 1.5, 2.3)
     for i, p in enumerate(payloads):
-        et, ep = events[i]
-        got = _render(m.cfg, et, ep)
+        got = _render(m.cfg, *events[i])
         assert got == p, (i, got, p)
-        # single-stream must agree exactly
-        st, sp = rxer.run_events(waves[i], 1.5, 2.3)
-        assert np.array_equal(st, et)
-        assert np.array_equal(sp, ep)
+        # single-stream must agree exactly (every event-tuple part)
+        single = rxer.run_events(waves[i], 1.5, 2.3)
+        for a, b in zip(single, events[i]):
+            assert np.array_equal(a, b)
 
 
 def test_batched_loopback():
@@ -55,5 +54,4 @@ def test_batched_loopback():
     lb = DeviceLoopback(m.cfg)
     events = lb.run_events_batch(scheds)
     for i, p in enumerate(payloads):
-        et, ep = events[i]
-        assert _render(m.cfg, et, ep) == p
+        assert _render(m.cfg, *events[i]) == p

@@ -21,13 +21,13 @@ def test_loopback_roundtrip(mode):
 
     sched = tx_bit_schedule(payload, m.cfg, Ascii8Codec())
     lb = DeviceLoopback(m.cfg)
-    ev_t, ev_p = lb.run_events(sched)
+    result = lb.run_events(sched)
 
     sink = io.BytesIO()
     events = []
     rx = Receiver(m.cfg, RxOptions(), get_codec("ascii8"),
                   sink.write, events.append)
-    rx.render_events(ev_t, ev_p)
+    rx.render_events(*result)
     assert sink.getvalue() == payload, "".join(events)
 
 

@@ -29,7 +29,7 @@ def test_streaming_matches_oneshot(feed_size):
     payload = bytes((33 + (i % 94)) for i in range(600))
     samples = m.modulate(payload)
 
-    one = DeviceReceiver(m.cfg)
+    one = DeviceReceiver(m.cfg, compact=False)
     ev_t1, ev_p1 = one.run_events(samples, 1.5, 2.3)
     out1, ev1 = _render(m.cfg, ev_t1, ev_p1)
     assert out1 == payload
@@ -61,7 +61,7 @@ def test_streaming_multiple_carriers():
     gap = np.zeros(48000, np.float32)  # 1s silence -> carrier drop
     samples = np.concatenate([m.modulate(p1), gap, m.modulate(p2)])
 
-    one = DeviceReceiver(m.cfg)
+    one = DeviceReceiver(m.cfg, compact=False)
     ev_t1, ev_p1 = one.run_events(samples, 1.5, 2.3)
     out1, ev1 = _render(m.cfg, ev_t1, ev_p1)
     assert out1 == p1 + p2
