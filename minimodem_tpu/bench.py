@@ -178,15 +178,15 @@ def loopback_throughput(mode: str = "1200", audio_seconds: float = 60.0,
     audio_sec = len(sched) * m.cfg.bit_nsamples_tx / sample_rate
 
     lb = DeviceLoopback(m.cfg, precision)
-    ev_t, ev_p = lb.run_events(sched)  # compile + correctness
+    result = lb.run_events(sched)  # compile + correctness
     sink = io.BytesIO()
     rx = Receiver(m.cfg, RxOptions(), get_codec("ascii8"),
                   sink.write, lambda s: None)
-    rx.render_events(ev_t, ev_p)
+    rx.render_events(*result)
     ok = sink.getvalue() == payload
 
     t0 = time.perf_counter()
-    ev_t, ev_p = lb.run_events(sched)
+    lb.run_events(sched)
     dt = time.perf_counter() - t0
 
     return {
