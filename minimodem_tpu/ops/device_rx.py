@@ -542,9 +542,11 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                                      << jnp.uint32(n_data_bits - 1 - k))
                     word = rev
                 emit_byte = got
-                if do_rx_sync:
+                # suppress sync bytes (reference: src/minimodem.c:1436-1439);
+                # a sync value wider than the data mask can never match
+                if do_rx_sync and 0 <= sync_byte < (1 << n_data_bits):
                     emit_byte = jnp.logical_and(
-                        got, word != jnp.uint32(sync_byte & 0xFF))
+                        got, word != jnp.uint32(sync_byte))
                 ib = st["n_bytes"]
                 oldb = st2["bytes_buf"][brange, ib]
                 newb = jnp.where(emit_byte, word.astype(jnp.uint8), oldb)
