@@ -167,7 +167,6 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
     basis_np = make_basis(geo, np.float64 if use_f64 else np.float32)
     eps = np.float32(np.finfo(np.float32).eps)
     dtype = jnp.float64 if use_f64 else jnp.float32
-    s_len = t_total + geo.max_begin
     use_fft = nb > _DIRECT_CONV_MAX_NB
 
     # ---- static search geometry (reference: src/minimodem.c:1236-1251) ----
@@ -206,20 +205,37 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
     from .demod import _pallas_eligible
     use_pallas = _pallas_eligible(geo)
 
+    # score in T-tiles via lax.map: the per-bit [n_bits, T] float planes
+    # then only ever exist at tile size, bounding scoring memory to
+    # O(n_bits * T_TILE) per stream instead of O(n_bits * T)
+    T_TILE = min(t_total, 1 << 18)
+    assert t_total % T_TILE == 0, (t_total, T_TILE)
+    N_TILES = t_total // T_TILE
+
     def score_arrays(x):
-        """stages 1+2 -> per-offset conf/ampl for both expect patterns +
-        frame bit words, each a flat [T] array."""
+        """stages 1+2 -> packed per-offset channels [8, t_total] uint32."""
         if input_dtype == "int16":
             x = x.astype(jnp.float32) / jnp.float32(32768.0)
         xd = x.astype(dtype)
+        if N_TILES == 1:
+            return _score_tile(xd, t_total, t_total + geo.max_begin)
+        tiles = jnp.stack([
+            xd[k * T_TILE: k * T_TILE + T_TILE + geo.halo]
+            for k in range(N_TILES)])
+        packed_tiles = jax.lax.map(
+            lambda xt: _score_tile(xt, T_TILE, T_TILE + geo.max_begin),
+            tiles)                                  # [N_TILES, 8, T_TILE]
+        return packed_tiles.transpose(1, 0, 2).reshape(8, t_total)
+
+    def _score_tile(xd, t_len, tile_s_len):
         basis = jnp.asarray(basis_np)
         if use_pallas:
             from .pallas_demod import correlate_pallas
-            corr = correlate_pallas(xd, basis_np, s_len)
+            corr = correlate_pallas(xd, basis_np, tile_s_len)
         elif use_fft:
-            corr = _correlate_fft(xd, basis, s_len)
+            corr = _correlate_fft(xd, basis, tile_s_len)
         else:
-            corr = _correlate_direct(xd, basis, s_len)
+            corr = _correlate_direct(xd, basis, tile_s_len)
         scal = jnp.asarray(geo.magscalar, dtype)
         mag_mark = (jnp.hypot(corr[0], corr[1]) * scal).astype(jnp.float32)
         mag_space = (jnp.hypot(corr[2], corr[3]) * scal).astype(jnp.float32)
@@ -230,7 +246,7 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
 
         def sl(arr, b):
             return jax.lax.dynamic_slice_in_dim(
-                arr, int(geo.bit_begin[b]), t_total)
+                arr, int(geo.bit_begin[b]), t_len)
 
         bits_f = jnp.stack([sl(bit, b) for b in range(n_bits)])
         sigs = jnp.stack([sl(sig, b) for b in range(n_bits)])
@@ -254,7 +270,7 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
         ampl = total_sig / jnp.float32(n_bits)
 
         def mask_for(req):
-            ok = jnp.ones((t_total,), bool)
+            ok = jnp.ones((t_len,), bool)
             for b in range(n_bits):
                 if req[b] >= 0:
                     ok = ok & (bits_f[b] == bool(req[b]))
