@@ -23,7 +23,7 @@ def main() -> int:
     )
 
     audio_seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 
     blb = batched_loopback_throughput("1200", audio_seconds=audio_seconds,
                                       batch=batch)
