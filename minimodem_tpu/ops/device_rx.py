@@ -129,79 +129,35 @@ def zero_carry(batch: int) -> dict:
     }
 
 
-@functools.lru_cache(maxsize=32)
-def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
-                     input_dtype: str = "float32",
-                     finalize: bool = True,
-                     compact: bool = False):
-    """Compile the full device receiver for a fixed scored length
-    t_total (>= stream length in samples).
-
-    input_dtype "int16" accepts raw PCM16 samples and normalizes them on
-    device (x/32768, the libsndfile convention the reference relies on,
-    reference: sf_readf_float in src/simpleaudio-sndfile.c:49) — halving
-    the host->device transfer for S16 sources.
-
-    compact=True (requires n_data_bits <= 8): frame bits are post-processed
-    to data bytes ON DEVICE (stop-strip, bit window, msb reversal,
-    sync-byte suppression — reference: src/minimodem.c:1414-1443) into a
-    1-byte-per-frame stream; only carrier-transition control events use the
-    wide event log.  This shrinks the device->host result from ~32 bytes
-    per frame to ~1, which is what the host link actually bounds."""
+def geo_from_key(cfg_key) -> DemodGeometry:
     (sample_rate, data_rate_bits, n_data_bits, nstartbits, nstopbits_bits,
      b_mark, b_space, fftsize, nb, magscalar_bits, bit_begin, n_bits,
      req_data, req_sync, use_f64, frame_nsamples, overscan,
      expect_nsamples, msb_first, do_rx_sync, sync_byte) = cfg_key
-
-    nstop_shift = 0 if np.uint32(nstopbits_bits).view(np.float32) == 0 else 1
-    if compact:
-        assert n_data_bits <= 8, "compact mode needs <=8 data bits"
-        assert nstop_shift + nstartbits + n_data_bits <= 32
-
-    geo = DemodGeometry(
+    return DemodGeometry(
         nb=nb, fftsize=fftsize, b_mark=b_mark, b_space=b_space,
         magscalar=float(np.uint32(magscalar_bits).view(np.float32)),
         bit_begin=bit_begin, n_bits=n_bits, req_data=req_data,
         req_sync=req_sync, use_f64=use_f64)
+
+
+def make_score_packer(cfg_key, t_total: int, input_dtype: str):
+    """Traced fn x[t_total + halo] -> packed scores [8, t_total] uint32.
+
+    Channel layout (floats bitcast): 0 conf_data, 1 conf_sync, 2 ampl_data,
+    3 ampl_sync, 4 bits_lo, 5 bits_hi, 6/7 zero.  Shared by the XLA
+    receiver (stage 3 while_loop) and the Pallas megakernel."""
+    geo = geo_from_key(cfg_key)
+    n_bits = geo.n_bits
+    req_data, req_sync = geo.req_data, geo.req_sync
+    use_f64 = geo.use_f64
+    nb = geo.nb
 
     basis_np = make_basis(geo, np.float64 if use_f64 else np.float32)
     eps = np.float32(np.finfo(np.float32).eps)
     dtype = jnp.float64 if use_f64 else jnp.float32
     use_fft = nb > _DIRECT_CONV_MAX_NB
 
-    # ---- static search geometry (reference: src/minimodem.c:1236-1251) ----
-    data_rate_f = np.uint32(data_rate_bits).view(np.float32)
-    nspb = np.float32(np.float32(sample_rate) / data_rate_f)
-    geom = {}
-    for carrier in (0, 1):
-        if carrier:
-            try_max = int(np.trunc(np.float32(
-                nspb * np.float32(0.75)) + np.float32(0.5))) + overscan
-            try_first = overscan
-        else:
-            try_max = int(np.trunc(nspb)) + overscan
-            try_first = 0
-        coarse = max(try_max // FSK_ANALYZE_NSTEPS, 1)
-        fine = max(try_max // FSK_ANALYZE_NSTEPS_FINE, 1)
-        geom[carrier] = dict(
-            try_max=try_max,
-            coarse_step=coarse,
-            coarse=_scan_order(try_first, try_max, coarse),
-            fine=_scan_order(try_first, try_max, fine),
-        )
-
-    # pad candidate lists into one [geo_carrier, fine?, K] static array
-    K = max(len(g[k]) for g in geom.values() for k in ("coarse", "fine"))
-    cand_np = np.full((2, 2, K), -1, np.int32)
-    for carrier in (0, 1):
-        cand_np[carrier, 0, :len(geom[carrier]["coarse"])] = geom[carrier]["coarse"]
-        cand_np[carrier, 1, :len(geom[carrier]["fine"])] = geom[carrier]["fine"]
-
-    min_advance = max(1, min(frame_nsamples - overscan,
-                             geom[0]["try_max"], geom[1]["try_max"]))
-    max_events = t_total // min_advance + 16
-
-    # ------------------------------------------------------------------
     from .demod import _pallas_eligible
     use_pallas = _pallas_eligible(geo)
 
@@ -304,6 +260,83 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
             u(conf_d, jnp.uint32), u(conf_s, jnp.uint32),
             u(ampl_d, jnp.uint32), u(ampl_s, jnp.uint32),
             bits_lo, bits_hi, zeros, zeros], axis=0)
+
+    return score_arrays
+
+
+@functools.lru_cache(maxsize=32)
+def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
+                     input_dtype: str = "float32",
+                     finalize: bool = True,
+                     compact: bool = False):
+    """Compile the full device receiver for a fixed scored length
+    t_total (>= stream length in samples).
+
+    input_dtype "int16" accepts raw PCM16 samples and normalizes them on
+    device (x/32768, the libsndfile convention the reference relies on,
+    reference: sf_readf_float in src/simpleaudio-sndfile.c:49) — halving
+    the host->device transfer for S16 sources.
+
+    compact=True (requires n_data_bits <= 8): frame bits are post-processed
+    to data bytes ON DEVICE (stop-strip, bit window, msb reversal,
+    sync-byte suppression — reference: src/minimodem.c:1414-1443) into a
+    1-byte-per-frame stream; only carrier-transition control events use the
+    wide event log.  This shrinks the device->host result from ~32 bytes
+    per frame to ~1, which is what the host link actually bounds."""
+    (sample_rate, data_rate_bits, n_data_bits, nstartbits, nstopbits_bits,
+     b_mark, b_space, fftsize, nb, magscalar_bits, bit_begin, n_bits,
+     req_data, req_sync, use_f64, frame_nsamples, overscan,
+     expect_nsamples, msb_first, do_rx_sync, sync_byte) = cfg_key
+
+    nstop_shift = 0 if np.uint32(nstopbits_bits).view(np.float32) == 0 else 1
+    if compact:
+        assert n_data_bits <= 8, "compact mode needs <=8 data bits"
+        assert nstop_shift + nstartbits + n_data_bits <= 32
+
+    geo = DemodGeometry(
+        nb=nb, fftsize=fftsize, b_mark=b_mark, b_space=b_space,
+        magscalar=float(np.uint32(magscalar_bits).view(np.float32)),
+        bit_begin=bit_begin, n_bits=n_bits, req_data=req_data,
+        req_sync=req_sync, use_f64=use_f64)
+
+    basis_np = make_basis(geo, np.float64 if use_f64 else np.float32)
+    eps = np.float32(np.finfo(np.float32).eps)
+    dtype = jnp.float64 if use_f64 else jnp.float32
+    use_fft = nb > _DIRECT_CONV_MAX_NB
+
+    # ---- static search geometry (reference: src/minimodem.c:1236-1251) ----
+    data_rate_f = np.uint32(data_rate_bits).view(np.float32)
+    nspb = np.float32(np.float32(sample_rate) / data_rate_f)
+    geom = {}
+    for carrier in (0, 1):
+        if carrier:
+            try_max = int(np.trunc(np.float32(
+                nspb * np.float32(0.75)) + np.float32(0.5))) + overscan
+            try_first = overscan
+        else:
+            try_max = int(np.trunc(nspb)) + overscan
+            try_first = 0
+        coarse = max(try_max // FSK_ANALYZE_NSTEPS, 1)
+        fine = max(try_max // FSK_ANALYZE_NSTEPS_FINE, 1)
+        geom[carrier] = dict(
+            try_max=try_max,
+            coarse_step=coarse,
+            coarse=_scan_order(try_first, try_max, coarse),
+            fine=_scan_order(try_first, try_max, fine),
+        )
+
+    # pad candidate lists into one [geo_carrier, fine?, K] static array
+    K = max(len(g[k]) for g in geom.values() for k in ("coarse", "fine"))
+    cand_np = np.full((2, 2, K), -1, np.int32)
+    for carrier in (0, 1):
+        cand_np[carrier, 0, :len(geom[carrier]["coarse"])] = geom[carrier]["coarse"]
+        cand_np[carrier, 1, :len(geom[carrier]["fine"])] = geom[carrier]["fine"]
+
+    min_advance = max(1, min(frame_nsamples - overscan,
+                             geom[0]["try_max"], geom[1]["try_max"]))
+    max_events = t_total // min_advance + 16
+
+    score_arrays = make_score_packer(cfg_key, t_total, input_dtype)
 
     # ------------------------------------------------------------------
     def receiver(x, total, conf_threshold, conf_search_limit, carry):
