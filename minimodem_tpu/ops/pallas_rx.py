@@ -1,10 +1,15 @@
 """EXPERIMENTAL: the carrier state machine as one Pallas TPU kernel.
 
-STATUS (round 1): logic complete and event-for-event identical to the XLA
-receiver under pallas interpret mode (tests/test_pallas_rx.py); mosaic
-compilation on real TPU still trips an "unsupported bitwidth truncation"
-in lowering — root-causing that is the first round-2 task (ROADMAP.md #1).
-The XLA while_loop receiver remains the production path.
+STATUS (end of round 1): compiles and runs on real TPU with event-for-event
+parity against the XLA receiver (interpret-mode parity is also tested in
+CI: tests/test_pallas_rx.py).  Mosaic gotchas fixed along the way: no
+captured array constants, no scalar bitcasts (i32/f32 lane-vector blends),
+no unsigned or bool-typed reductions, no odd-length 1-D scans, int32 loop
+flags, 128-aligned HBM DMA.  Current per-frame in-kernel cost is ~26 us
+(un-overlapped window DMA + two [K, W_FETCH] one-hot scans), so it beats
+the XLA path ~2x single-stream but not yet batched — round-2 work:
+double-buffer the window DMA, shrink W_FETCH, and/or run streams
+lane-parallel.  The XLA while_loop receiver remains the production path.
 
 The XLA while_loop implementation (ops/device_rx.py stage 3) spends
 ~50 us per frame on kernel-sequencing overhead (~60 fused kernels per
@@ -105,9 +110,13 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
         cand_np[c, 1, :len(geom[c]["fine"])] = geom[c]["fine"]
     valid_np = cand_np >= 0
 
-    min_advance = max(1, min(frame_nsamples - overscan,
-                             geom[0]["try_max"], geom[1]["try_max"]))
-    max_events = t_total // min_advance + 16
+    # events only occur on decoded frames (advance >= frame_adv) or
+    # carrier drops (>= 21 no-confidence scans apart) — NOT on every
+    # no-confidence advance, so the VMEM event buffer stays small
+    frame_adv = max(1, frame_nsamples - overscan)
+    drop_adv = max(1, (FSK_MAX_NOCONFIDENCE_BITS + 1)
+                   * min(geom[0]["try_max"], geom[1]["try_max"]))
+    max_events = t_total // frame_adv + t_total // drop_adv + 16
     # event buffer rows must be sublane-aligned
     e_pad = ((max_events + 7) // 8) * 8
 
@@ -181,11 +190,14 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
                 jnp.max(c)).astype(jnp.float32)
             selhot = c == best_c
             sel_count = jnp.sum(
-                jnp.where(tri & selhot[None, :], 1, 0), axis=1)   # [K]
+                (tri & selhot[None, :]).astype(jnp.int32),
+                axis=1, dtype=jnp.int32)                          # [K]
             first = (sel_count == 1) & selhot
             got = best_c > 0.0
             t = jnp.sum(jnp.where(first, clist, 0), dtype=jnp.int32)
-            poshot = jnp.sum(jnp.where(first[:, None], oh, False),
+            # bool-typed reductions trip mosaic ("unsupported bitwidth
+            # truncation"); sum in int32
+            poshot = jnp.sum((first[:, None] & oh).astype(jnp.int32),
                              axis=0, dtype=jnp.int32) > 0           # [W]
             ae = jnp.where(expect_i == 0,
                            jax.lax.bitcast_convert_type(win_vmem[2, :],
