@@ -76,6 +76,11 @@ def sharded_score_fn(cfg: ModemConfig, mesh: Mesh, t_local: int,
         left_halo = jax.lax.ppermute(
             lead, "sp",
             [(i, (i - 1) % sp_size) for i in range(sp_size)])
+        # the last shard has no right neighbor: its halo must be zeros
+        # (matching the unsharded scorer, which zero-pads past the chunk),
+        # not shard 0's samples that the circular ppermute delivered
+        is_last = jax.lax.axis_index("sp") == sp_size - 1
+        left_halo = jnp.where(is_last, jnp.zeros_like(left_halo), left_halo)
         x_ext = jnp.concatenate([x_local[:, :t_local], left_halo], axis=1)
         out = jax.vmap(score)(x_ext)
         # mesh-wide stats: candidate-weighted mean confidence (collective)
@@ -85,22 +90,25 @@ def sharded_score_fn(cfg: ModemConfig, mesh: Mesh, t_local: int,
         out["mean_conf"] = conf_sum / n_off
         return out
 
-    from jax.experimental.shard_map import shard_map
+    out_specs = {
+        "conf_data": P("dp", "sp"),
+        "conf_sync": P("dp", "sp"),
+        "ampl_data": P("dp", "sp"),
+        "ampl_sync": P("dp", "sp"),
+        "bits_lo": P("dp", "sp"),
+        "bits_hi": P("dp", "sp"),
+        "mean_conf": P(),
+    }
+    if hasattr(jax, "shard_map"):  # jax >= 0.8
+        fn = jax.shard_map(
+            local_fn, mesh=mesh, in_specs=P("dp", "sp"),
+            out_specs=out_specs, check_vma=False)
+    else:
+        from jax.experimental.shard_map import shard_map
 
-    fn = shard_map(
-        local_fn, mesh=mesh,
-        in_specs=P("dp", "sp"),
-        out_specs={
-            "conf_data": P("dp", "sp"),
-            "conf_sync": P("dp", "sp"),
-            "ampl_data": P("dp", "sp"),
-            "ampl_sync": P("dp", "sp"),
-            "bits_lo": P("dp", "sp"),
-            "bits_hi": P("dp", "sp"),
-            "mean_conf": P(),
-        },
-        check_rep=False,
-    )
+        fn = shard_map(
+            local_fn, mesh=mesh, in_specs=P("dp", "sp"),
+            out_specs=out_specs, check_rep=False)
     return jax.jit(fn)
 
 

@@ -49,11 +49,10 @@ def test_sharded_scores_match_single_device():
 
     sc = DemodScorer(m.cfg, "float32", chunk_len=L)
     ref = sc.score(x[0])
-    # the sp halo exchange wraps at the last shard; compare the region
-    # fully covered by real neighbor data
-    valid = L - sc.geo.halo - t_local
+    # full-array parity: the last shard zero-masks its halo, matching the
+    # unsharded scorer's zero-padding past the chunk
     np.testing.assert_allclose(
-        out["conf_data"][0][:valid], ref["conf_data"][:valid],
+        out["conf_data"][0], ref["conf_data"][:L],
         rtol=1e-5, atol=1e-6)
 
 
