@@ -414,10 +414,13 @@ def main(argv=None) -> int:
         except ConfigError as e:
             sys.stderr.write(f"E: {e}\n")
             return 1
+        # interactive = live audio output (no --file) — reference:
+        # src/minimodem.c:981-985
+        tx_interactive = filename is None
         tx_opts = TxOptions(
             amplitude=tx_amplitude,
             sin_table_len=tx_sin_table_len,
-            interactive=False,
+            interactive=tx_interactive,
             print_eot=tx_print_eot,
             tx_carrier=txcarrier,
             leader_bits_len=tx_leader_bits_len,
@@ -433,8 +436,10 @@ def main(argv=None) -> int:
             sys.stderr.write(f"{filename}: {e}\n")
             return 1
         txer = Transmitter(cfg, tx_opts, encoder, sample_fmt, synth_backend)
-        data = sys.stdin.buffer.read()
-        txer.transmit_bytes(data, stream)
+        # the reference's stdin loop: select() idle detection + idle
+        # carrier, SIGALRM trailer when interactive (minimodem.c:114-250)
+        txer.transmit_stdin(sys.stdin.buffer, stream, tx_interactive,
+                            txcarrier)
         stream.close()
         return 0
 

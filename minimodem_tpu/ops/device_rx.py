@@ -334,7 +334,8 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
 
     min_advance = max(1, min(frame_nsamples - overscan,
                              geom[0]["try_max"], geom[1]["try_max"]))
-    max_events = t_total // min_advance + 16
+    # multiple of 8 so the packed-result bitcast covers every byte slot
+    max_events = ((t_total // min_advance + 16 + 7) // 8) * 8
 
     score_arrays = make_score_packer(cfg_key, t_total, input_dtype)
 
@@ -663,29 +664,65 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
 
         carry_out = {k: st[k] for k in CARRY_FIELDS}
         if compact:
-            return (st["ev"], st["n_events"], st["bytes_buf"],
-                    st["n_bytes"], carry_out)
+            flat = pack_compact_results(
+                st["ev"], st["n_events"], st["bytes_buf"], st["n_bytes"])
+            return flat, st["ev"], carry_out
         return st["ev"], st["n_events"], carry_out
 
     return jax.jit(receiver), max_events, geo
 
 
+# device->host transfers on this link cost ~28 ms latency each (plus
+# ~30 MB/s), so compact results are packed into ONE flat u32 buffer on
+# device and fetched with a single transfer.  The event log is capped at
+# EV_CAP records in the packed form (events are carrier transitions —
+# rare); the full log rides along on-device for the overflow fallback.
+EV_CAP = 32
+
+
+def pack_compact_results(ev, n_events, bytes_buf, n_bytes):
+    """Device-side epilogue: flat u32 = [n_events(B), n_bytes(B),
+    ev[:, :, :cap] flattened, bytes_buf bitcast to u32 flattened]."""
+    b = n_events.shape[0]
+    cap = min(EV_CAP, ev.shape[2])
+    ev_c = ev[:, :, :cap]
+    e4 = bytes_buf.shape[1] // 4
+    by_u32 = jax.lax.bitcast_convert_type(
+        bytes_buf[:, :e4 * 4].reshape(b, e4, 4), jnp.uint32)
+    return jnp.concatenate([
+        n_events.astype(jnp.uint32), n_bytes.astype(jnp.uint32),
+        ev_c.reshape(-1), by_u32.reshape(-1)])
+
+
+def _collect_compact(out, b: int):
+    """One-transfer collection of packed compact results.
+    out = (flat, ev_full); ev_full is only fetched if some stream logged
+    more than EV_CAP events."""
+    flat_dev, ev_dev = out[0], out[1]
+    flat = np.ascontiguousarray(np.asarray(flat_dev))
+    max_events = ev_dev.shape[2]
+    cap = min(EV_CAP, max_events)
+    nev = flat[:b].astype(np.int32)
+    nby = flat[b: 2 * b].astype(np.int32)
+    ev = flat[2 * b: 2 * b + 8 * b * cap].reshape(8, b, cap)
+    by = flat[2 * b + 8 * b * cap:].reshape(b, -1).view(np.uint8)
+    kmax = int(nev.max(initial=0))
+    if kmax > cap:                      # rare: fetch the full event log
+        ev = np.asarray(ev_dev[:, :, :kmax])
+    return [
+        (*unpack_events(ev[:, i, :], int(nev[i])), by[i, :int(nby[i])])
+        for i in range(b)
+    ]
+
+
 def _collect_results(out, b: int, compact: bool):
-    """Pull device results with minimal transfer: event logs are sliced to
-    the used prefix before crossing the host link.  Returns per-stream
-    tuples — (ev_type, ev_pay) or (ev_type, ev_pay, byte_stream)."""
+    """Pull device results.  Compact outputs are (flat, ev_full) from
+    pack_compact_results — one transfer; wide outputs are (ev, n) —
+    event logs sliced to the used prefix before crossing the host link.
+    Returns per-stream tuples — (ev_type, ev_pay) or (ev_type, ev_pay,
+    byte_stream)."""
     if compact:
-        ev, n, bytes_buf, n_bytes = out
-        n = np.asarray(n)
-        nb = np.asarray(n_bytes)
-        kmax = max(int(n.max(initial=0)), 1)
-        bmax = max(int(nb.max(initial=0)), 1)
-        ev = np.asarray(ev[:, :, :kmax])
-        bb = np.asarray(bytes_buf[:, :bmax])
-        return [
-            (*unpack_events(ev[:, i, :], int(n[i])), bb[i, :int(nb[i])])
-            for i in range(b)
-        ]
+        return _collect_compact(out, b)
     ev, n = out
     n = np.asarray(n)
     kmax = max(int(n.max(initial=0)), 1)
@@ -729,21 +766,31 @@ class DeviceLoopback:
         self._rx_one = rx_one
         self._geo = geometry_from_config(cfg, precision)
 
-    def _fn_for(self, b_pad: int):
+    def _fn_for(self, b_pad: int, batch: int):
         import jax
         import jax.numpy as jnp
 
+        from .pallas_rx import build_mega_rx, mega_default_on, mega_supported
         from .tx_device import device_synthesize
 
-        fn = self._fns.get(b_pad)
+        cache_key = (b_pad, batch)
+        fn = self._fns.get(cache_key)
         if fn is not None:
             return fn
         cfg = self.cfg
         t_total = _round_up_pow2(
             b_pad * self.bit_ns + cfg.nsamples_overscan + 1)
         compact = cfg.n_data_bits <= 8
-        rx_fn, _, geo = _build_device_rx(
-            self.key, t_total, self._rx_one, "float32", True, compact)
+        use_mega = (compact and mega_supported(self.key)
+                    and mega_default_on())
+        if use_mega:
+            packer = make_score_packer(self.key, t_total, "float32")
+            kern, _, _ = build_mega_rx(
+                self.key, t_total, self._rx_one, batch)
+        else:
+            rx_fn, _, _ = _build_device_rx(
+                self.key, t_total, self._rx_one, "float32", True, compact)
+        geo = self._geo
         pad_to = t_total + geo.halo
         amp = self._amplitude
 
@@ -753,12 +800,22 @@ class DeviceLoopback:
             bsz = bits.shape[0]
             x = jnp.zeros((bsz, pad_to), jnp.float32)
             x = jax.lax.dynamic_update_slice(x, s, (0, 0))
+            if use_mega:
+                packed = jax.vmap(packer)(x).reshape(bsz * 8, t_total)
+                return kern(packed, total, jnp.stack([thr, lim]))
             out = rx_fn(x, total, thr, lim, carry)
             return out[:-1]  # drop carry
 
-        fn = jax.jit(loop)
-        self._fns[b_pad] = (fn, compact)
-        return fn, compact
+        if use_mega:
+            # f64 synth + Pallas kernel in one program: trace under the
+            # ambient x64 config, lower under x64-off (utils/aot.py)
+            from ..utils.aot import jit_mosaic
+
+            fn = jit_mosaic(loop)
+        else:
+            fn = jax.jit(loop)
+        self._fns[cache_key] = (fn, compact, use_mega)
+        return fn, compact, use_mega
 
     def run_events_batch(self, sched_list, conf_threshold: float = 1.5,
                          conf_search_limit: float = 2.3):
@@ -772,7 +829,7 @@ class DeviceLoopback:
         for i, s in enumerate(sched_list):
             bits[i, :len(s)] = s
         totals = np.asarray([n * self.bit_ns for n in b_real], np.int32)
-        fn, compact = self._fn_for(b_pad)
+        fn, compact, use_mega = self._fn_for(b_pad, len(sched_list))
         out = fn(
             jnp.asarray(bits), jnp.asarray(totals),
             np.float32(conf_threshold), np.float32(conf_search_limit),
@@ -798,6 +855,19 @@ class DeviceReceiver:
             self.compact = cfg.n_data_bits <= 8
         else:
             self.compact = bool(compact)
+        # one-shot decodes route to the Pallas megakernel on TPU (same
+        # events/bytes, ~50x less in-loop dispatch); streaming (carry) and
+        # wide/f64/huge-scan geometries stay on the XLA while_loop
+        self._mega = None
+        if self.compact:
+            from .pallas_rx import (
+                MegaReceiver,
+                mega_default_on,
+                mega_supported,
+            )
+
+            if mega_supported(self.key) and mega_default_on():
+                self._mega = MegaReceiver(cfg, precision, rx_one)
 
     def run_events_batch(self, samples: np.ndarray, totals,
                          conf_threshold: float, conf_search_limit: float,
@@ -809,6 +879,10 @@ class DeviceReceiver:
         but the last segment) for streaming decode."""
         b, L = samples.shape
         totals = np.asarray(totals, np.int32)
+        if self._mega is not None and carry is None and finalize:
+            events = self._mega.run_events_batch(
+                samples, totals, conf_threshold, conf_search_limit)
+            return events, zero_carry(b)
         t_total = _round_up_pow2(
             int(totals.max(initial=0)) + self.cfg.nsamples_overscan + 1)
         geo = geometry_from_config(self.cfg)
@@ -835,6 +909,113 @@ class DeviceReceiver:
             samples[None, :], [len(samples)],
             conf_threshold, conf_search_limit)
         return events[0]
+
+
+class PipelinedReceiver:
+    """Single-stream decode with the host->device transfer overlapped
+    against compute: a known-length stream is cut into fixed-size
+    segments, segment k+1's transfer is issued while segment k decodes,
+    and the state machine carries across segments on device.
+
+    Uses the compact byte path when eligible; byte positions are
+    per-segment, so run() yields one event tuple per segment — render
+    them in order (codec/stderr state persists across render calls).
+
+    The reference reads audio in half-buffer chunks interleaved with
+    decode (src/minimodem.c:1144-1174); this is that overlap, done with
+    async device transfers instead of blocking reads.
+
+    The default segment is large (~175 s of 48 kHz audio): each device
+    call carries a fixed dispatch overhead (~30 ms on the axon tunnel),
+    so segmentation only pays off once per-segment work dwarfs it; the
+    segment bound also caps device memory for arbitrarily long files.
+    """
+
+    def __init__(self, cfg: ModemConfig, precision: str = "auto",
+                 rx_one: bool = False, segment_len: int = 1 << 23):
+        from ..utils.cfloat import trunc_i
+
+        self.cfg = cfg
+        self.precision = precision
+        self.rx_one = rx_one
+        self.key = device_rx_key(cfg, precision)
+        self.compact = cfg.n_data_bits <= 8
+        geo = geometry_from_config(cfg, precision)
+        self.geo = geo
+        scan_w = trunc_i(cfg.nsamples_per_bit) + cfg.nsamples_overscan + 1
+        # a non-final segment is scanned only while every score it reads
+        # came from real samples (same rule as DeviceStreamReceiver)
+        self._lookahead = geo.halo + scan_w
+        # worst-case distance between the scan-total and the final scan
+        # position: one full advance (frame + scan window)
+        max_adv = cfg.frame_nsamples + scan_w
+        self.overlap = self._lookahead + max_adv
+        self.segment_len = max(segment_len,
+                               4 * (self.overlap + cfg.expect_nsamples))
+        self.step = self.segment_len - self.overlap
+
+    def run(self, samples: np.ndarray, conf_threshold: float,
+            conf_search_limit: float):
+        """Yield per-segment event tuples — (ev_type, ev_pay) or
+        (ev_type, ev_pay, byte_stream) in compact mode."""
+        import jax
+
+        n = len(samples)
+        one_shot = DeviceReceiver(self.cfg, self.precision, self.rx_one,
+                                  self.compact)
+        if n <= self.segment_len:
+            events, _ = one_shot.run_events_batch(
+                samples[None, :], [n], conf_threshold, conf_search_limit)
+            yield events[0]
+            return
+
+        in_dtype = "int16" if samples.dtype == np.int16 else "float32"
+        total_nf = self.segment_len - self._lookahead + self.cfg.expect_nsamples
+        t_total = _round_up_pow2(total_nf + self.cfg.nsamples_overscan + 1)
+        fn, _, geo = _build_device_rx(
+            self.key, t_total, self.rx_one, in_dtype, False, self.compact)
+        thr = np.float32(conf_threshold)
+        lim = np.float32(conf_search_limit)
+
+        starts = []
+        s = 0
+        while s + self.segment_len < n:
+            starts.append(s)
+            s += self.step
+        tail_start = s                                # tail in (overlap, seg]
+        tail_total = n - tail_start
+        t_total_f = _round_up_pow2(
+            tail_total + self.cfg.nsamples_overscan + 1)
+        fn_final, _, _ = _build_device_rx(
+            self.key, t_total_f, self.rx_one, in_dtype, True, self.compact)
+
+        def put(seg, tt):
+            x = np.zeros((1, tt + geo.halo), samples.dtype)
+            m = min(len(seg), x.shape[1])
+            x[0, :m] = seg[:m]
+            return jax.device_put(x)
+
+        totals_nf = np.asarray([total_nf], np.int32)
+        carry = zero_carry(1)
+        dev = put(samples[starts[0]: starts[0] + self.segment_len], t_total)
+        for i, s0 in enumerate(starts):
+            out = fn(dev, totals_nf, thr, lim, carry)
+            carry = out[-1]
+            # issue the NEXT transfer while this segment decodes
+            if i + 1 < len(starts):
+                nxt = starts[i + 1]
+                dev = put(samples[nxt: nxt + self.segment_len], t_total)
+            else:
+                dev = put(samples[tail_start:], t_total_f)
+            events = _collect_results(out[:-1], 1, self.compact)
+            # rebase the device position onto the next segment's origin
+            carry = dict(carry)
+            carry["pos"] = carry["pos"] - np.int32(self.step)
+            yield events[0]
+
+        out = fn_final(dev, np.asarray([tail_total], np.int32), thr, lim,
+                       carry)
+        yield _collect_results(out[:-1], 1, self.compact)[0]
 
 
 class DeviceStreamReceiver:

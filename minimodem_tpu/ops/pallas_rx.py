@@ -1,32 +1,30 @@
-"""EXPERIMENTAL: the carrier state machine as one Pallas TPU kernel.
-
-STATUS (end of round 1): compiles and runs on real TPU with event-for-event
-parity against the XLA receiver (interpret-mode parity is also tested in
-CI: tests/test_pallas_rx.py).  Mosaic gotchas fixed along the way: no
-captured array constants, no scalar bitcasts (i32/f32 lane-vector blends),
-no unsigned or bool-typed reductions, no odd-length 1-D scans, int32 loop
-flags, 128-aligned HBM DMA.  Current per-frame in-kernel cost is ~26 us
-(un-overlapped window DMA + two [K, W_FETCH] one-hot scans), so it beats
-the XLA path ~2x single-stream but not yet batched — round-2 work:
-double-buffer the window DMA, shrink W_FETCH, and/or run streams
-lane-parallel.  The XLA while_loop receiver remains the production path.
+"""The carrier state machine as one Pallas TPU kernel ("megakernel").
 
 The XLA while_loop implementation (ops/device_rx.py stage 3) spends
 ~50 us per frame on kernel-sequencing overhead (~60 fused kernels per
 iteration).  This kernel runs the whole per-stream state machine inside a
-single Pallas program: packed score windows are DMA'd HBM->VMEM per frame,
-the center-out frame search is VPU vector math over a 128-aligned window,
-scalar tracking state lives in loop carries, and events/bytes accumulate
-in VMEM until one DMA-out per stream.
+single Pallas program: a large packed-score window stays RESIDENT in VMEM
+and is refilled by one HBM->VMEM DMA every ~N frames (N ~ W_RES /
+frame_advance), the center-out frame search is VPU vector math over a
+dynamically sliced 128-aligned sub-window, the fine rescan runs under a
+lax.cond (it only fires on carrier acquisition or confidence drop), scalar
+tracking state lives in loop carries, and events/bytes accumulate in VMEM
+until one DMA-out per stream.
 
-Grid = (B,): streams run back-to-back on the core; per-frame cost is one
-small DMA + a few VPU ops.  Decisions replay ops/device_rx.py exactly
-(same score arrays in, same event records out); tests/test_pallas_rx.py
-verifies event-for-event equality against the XLA engine.
+Grid = (B,): streams run back-to-back on the core.  Decisions replay
+ops/device_rx.py exactly (same score arrays in, same event records out);
+tests/test_pallas_rx.py verifies event-for-event equality against the XLA
+engine.
 
-Compact mode only (n_data_bits <= 8), no streaming carry yet — this is
-the round-2 perf path, opt-in via DeviceReceiver(engine) /
-MINIMODEM_TPU_MEGAKERNEL=1.
+Mosaic gotchas encoded here (round 1): no captured array constants, no
+scalar bitcasts (i32/f32 lane-vector blends), no unsigned or bool-typed
+reductions, no odd-length 1-D scans, int32 loop flags, 128-aligned HBM
+DMA starts and 1024-multiple DMA lane lengths.
+
+Compact mode only (n_data_bits <= 8), one-shot (no streaming carry) —
+eligible configs are routed here by DeviceReceiver/DeviceLoopback; the
+XLA while_loop remains the path for f64 geometries, wide data words,
+streaming carry, and very low baud rates (huge scan windows).
 """
 
 from __future__ import annotations
@@ -44,10 +42,16 @@ from .device_rx import (
     FSK_ANALYZE_NSTEPS_FINE,
 )
 
-# window fetch geometry: candidate offsets live in [0, W_SCAN); we DMA a
-# 128-aligned [8, W_FETCH] block so the dynamic position only needs
-# 128-granular alignment
+# window geometry: candidate offsets live in [0, W_SCAN); per frame we
+# vector-load a 128-aligned [8, W_FETCH] block out of the VMEM-resident
+# window so the dynamic position only needs 128-granular alignment
 W_LANES = 128
+# resident window target size (lanes) beyond the per-frame fetch block; a
+# refill DMA runs every ~W_EXTRA/frame_advance frames
+W_EXTRA = 8192
+# largest per-frame fetch block we accept before falling back to the XLA
+# receiver (very low baud rates scan tens of thousands of offsets)
+W_FETCH_MAX = 16384
 
 
 def _static_geom(cfg_key):
@@ -102,13 +106,14 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
     # fetch block: dynamic pos is 128-aligned down, so the window spans at
     # most (128 - 1) + w_scan lanes
     w_fetch = ((w_scan + W_LANES - 1) // W_LANES + 1) * W_LANES
+    # resident window: refilled by one DMA every ~W_EXTRA/frame_adv frames
+    # (lane length kept a 1024-multiple for the HBM DMA)
+    w_res = ((w_fetch + W_EXTRA + 1023) // 1024) * 1024
 
-    K = max(len(g[k]) for g in geom.values() for k in ("coarse", "fine"))
-    cand_np = np.full((2, 2, K), -1, np.int32)
-    for c in (0, 1):
-        cand_np[c, 0, :len(geom[c]["coarse"])] = geom[c]["coarse"]
-        cand_np[c, 1, :len(geom[c]["fine"])] = geom[c]["fine"]
-    valid_np = cand_np >= 0
+    # separate coarse/fine candidate tables: the coarse scan runs every
+    # frame (keep its K minimal); the fine rescan is rare and larger
+    Kc = max(len(geom[c]["coarse"]) for c in (0, 1))
+    Kf = max(len(geom[c]["fine"]) for c in (0, 1))
 
     # events only occur on decoded frames (advance >= frame_adv) or
     # carrier drops (>= 21 no-confidence scans apart) — NOT on every
@@ -123,15 +128,17 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
     inf = np.float32(np.inf)
     sync_ok = do_rx_sync and 0 <= sync_byte < (1 << n_data_bits)
     # candidate tables as kernel inputs (pallas kernels cannot capture
-    # array constants); row = carrier*2 + fine
-    cand_in = np.full((4, K), -1, np.int32)
-    valid_in = np.zeros((4, K), np.int32)
+    # array constants); row = carrier flag
+    cand_c_in = np.full((2, Kc), -1, np.int32)
+    cand_f_in = np.full((2, Kf), -1, np.int32)
     for c in (0, 1):
-        for f in (0, 1):
-            cand_in[c * 2 + f] = cand_np[c, f]
-            valid_in[c * 2 + f] = valid_np[c, f].astype(np.int32)
+        cand_c_in[c, :len(geom[c]["coarse"])] = geom[c]["coarse"]
+        cand_f_in[c, :len(geom[c]["fine"])] = geom[c]["fine"]
+    valid_c_in = (cand_c_in >= 0).astype(np.int32)
+    valid_f_in = (cand_f_in >= 0).astype(np.int32)
 
-    def kernel(total_ref, thr_ref, cand_ref, valid_ref, packed_hbm,
+    def kernel(total_ref, thr_ref, cand_c_ref, valid_c_ref, cand_f_ref,
+               valid_f_ref, packed_hbm,
                ev_ref, nev_ref, bytes_ref, nbytes_ref,
                win_vmem, ev_vmem, bytes_vmem, sem):
         b = pl.program_id(0)
@@ -141,30 +148,33 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
         lane_iota = jax.lax.broadcasted_iota(
             jnp.int32, (1, w_fetch), 1)               # [1, W_FETCH]
 
-        def fetch_window(pos):
-            """DMA [8, W_FETCH] at 128-aligned base; return base offset."""
-            base = (pos // W_LANES) * W_LANES
+        def refill(pos):
+            """DMA [8, W_RES] at a 128-aligned base into the resident
+            window (runs only when the fetch block would fall off its
+            end — every ~W_EXTRA/frame_advance frames)."""
+            base = pl.multiple_of((pos // W_LANES) * W_LANES, W_LANES)
             dma = pltpu.make_async_copy(
-                packed_hbm.at[pl.ds(b * 8, 8), pl.ds(base, w_fetch)],
+                packed_hbm.at[pl.ds(b * 8, 8), pl.ds(base, w_res)],
                 win_vmem, sem)
             dma.start()
             dma.wait()
-            return pos - base                          # in [0, 128)
 
-        def find_frame(off, carrier_i, expect_i, fine_i, limit):
+        def find_frame(blk, off, carrier_i, expect_i, cand_ref, valid_ref,
+                       limit):
             """Vectorized replay of the center-out scan over the fetched
-            window.  off = pos - base (lane offset of candidate 0)."""
+            block.  blk: loaded [8, W_FETCH] u32 score channels; off =
+            lane offset of candidate 0 within the block (in [0, 128));
+            cand_ref/valid_ref: [2, K] candidate table (coarse or fine)."""
+            K = cand_ref.shape[1]
             clist = jnp.where(carrier_i == 1,
-                              cand_ref[2 + fine_i, :],
-                              cand_ref[fine_i, :])                  # [K]
+                              cand_ref[1, :], cand_ref[0, :])       # [K]
             vmask = jnp.where(carrier_i == 1,
-                              valid_ref[2 + fine_i, :],
-                              valid_ref[fine_i, :]) != 0
+                              valid_ref[1, :], valid_ref[0, :]) != 0
             lanes = off + jnp.maximum(clist, 0)                     # [K]
             # candidate one-hots [K, W_FETCH]
             oh = lane_iota == lanes[:, None]
-            cd = jax.lax.bitcast_convert_type(win_vmem[0, :], jnp.float32)
-            cs = jax.lax.bitcast_convert_type(win_vmem[1, :], jnp.float32)
+            cd = jax.lax.bitcast_convert_type(blk[0, :], jnp.float32)
+            cs = jax.lax.bitcast_convert_type(blk[1, :], jnp.float32)
             ce = jnp.where(expect_i == 0, cd, cs)                   # [W]
             c = jnp.sum(jnp.where(oh, ce[None, :], 0.0), axis=1,
                         dtype=jnp.float32)                          # [K]
@@ -183,9 +193,13 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
             ).astype(jnp.float32)
             crossed = prefix >= limit
             # the prefix-max at the FIRST crossing is the smallest prefix
-            # value among crossed positions (prefix is nondecreasing)
+            # value among crossed positions (prefix is nondecreasing).
+            # (any() via an int32 sum: mosaic's reduce_or proxy creates
+            # f64 constants when traced under jax_enable_x64)
+            any_crossed = jnp.sum(crossed.astype(jnp.int32),
+                                  dtype=jnp.int32) > 0
             best_c = jnp.where(
-                jnp.any(crossed),
+                any_crossed,
                 jnp.min(jnp.where(crossed, prefix, pos_inf)),
                 jnp.max(c)).astype(jnp.float32)
             selhot = c == best_c
@@ -200,16 +214,16 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
             poshot = jnp.sum((first[:, None] & oh).astype(jnp.int32),
                              axis=0, dtype=jnp.int32) > 0           # [W]
             ae = jnp.where(expect_i == 0,
-                           jax.lax.bitcast_convert_type(win_vmem[2, :],
+                           jax.lax.bitcast_convert_type(blk[2, :],
                                                         jnp.float32),
-                           jax.lax.bitcast_convert_type(win_vmem[3, :],
+                           jax.lax.bitcast_convert_type(blk[3, :],
                                                         jnp.float32))
             a = jnp.sum(jnp.where(poshot, ae, 0.0), dtype=jnp.float32)
             # mosaic has no unsigned reductions: pick via a bit-preserving
             # int32 sum (exactly one hot position)
             blo = jnp.sum(
                 jnp.where(poshot,
-                          jax.lax.bitcast_convert_type(win_vmem[4, :],
+                          jax.lax.bitcast_convert_type(blk[4, :],
                                                        jnp.int32),
                           jnp.int32(0)), dtype=jnp.int32)
             zf = jnp.float32(0.0)
@@ -234,7 +248,7 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
         # ---------------- state machine ----------------
         def cond(st):
             (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
-             nframes, carrier_ns, n_ev, n_by, stop_f) = st
+             nframes, carrier_ns, n_ev, n_by, stop_f, win_base) = st
             return jnp.logical_and(
                 stop_f == 0,
                 jnp.logical_and(pos + expect_nsamples <= total,
@@ -242,7 +256,7 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
 
         def body(st):
             (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
-             nframes, carrier_ns, n_ev, n_by, stop_f) = st
+             nframes, carrier_ns, n_ev, n_by, stop_f, win_base) = st
             carrier = carrier_f != 0
             carrier_i = carrier_f
             expect_i = 1 - carrier_i
@@ -252,9 +266,23 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
             try_max = jnp.where(carrier_i == 1,
                                 geom[1]["try_max"], geom[0]["try_max"])
 
-            off = fetch_window(pos)
+            # resident-window refill: only when the fetch block would run
+            # off its end (win_base starts at a sentinel forcing a fetch)
+            need_fill = pos - win_base + w_fetch > w_res
+
+            @pl.when(need_fill)
+            def _():
+                refill(pos)
+
+            win_base = jnp.where(need_fill, (pos // W_LANES) * W_LANES,
+                                 win_base)
+            off_res = pos - win_base              # [0, w_res - w_fetch]
+            local = pl.multiple_of((off_res // W_LANES) * W_LANES, W_LANES)
+            blk = win_vmem[:, pl.ds(local, w_fetch)]       # [8, W_FETCH]
+            off = off_res - local                          # [0, 128)
             conf, ampl, blo, fstart = find_frame(
-                off, carrier_i, expect_i, 0, conf_search_limit)
+                blk, off, carrier_i, expect_i, cand_c_ref, valid_c_ref,
+                conf_search_limit)
 
             refine = conf < peak * 0.75
             peak = jnp.where(refine, jnp.float32(0.0), peak)
@@ -274,7 +302,15 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
                 got, jnp.logical_and(
                     do_refine,
                     jnp.logical_and(conf < inf, try_step > 1)))
-            c2, a2, blo2, fs2 = find_frame(off, carrier_i, 0, 1, inf)
+            # the fine rescan only fires on acquisition or confidence
+            # degradation — skip its vector work entirely otherwise
+            c2, a2, blo2, fs2 = jax.lax.cond(
+                do_fine,
+                lambda b_: find_frame(b_, off, carrier_i, 0, cand_f_ref,
+                                      valid_f_ref, inf),
+                lambda b_: (jnp.float32(0.0), jnp.float32(0.0),
+                            jnp.int32(0), jnp.int32(0)),
+                blk)
             take2 = jnp.logical_and(do_fine, c2 > conf)
             ampl = jnp.where(take2, a2, ampl)
             blo = jnp.where(take2, blo2, blo)
@@ -350,15 +386,18 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
             if rx_one:
                 stop_f = jnp.where(drop_report, jnp.int32(1), stop_f)
             return (pos, new_carrier, noconf, track, peak, conf_tot,
-                    ampl_tot, nframes, carrier_ns, n_ev, n_by, stop_f)
+                    ampl_tot, nframes, carrier_ns, n_ev, n_by, stop_f,
+                    win_base)
 
         zf = jnp.float32(0.0)
         zi = jnp.int32(0)
+        # win_base sentinel far below any pos forces the initial refill
+        base0 = jnp.int32(-(1 << 30))
         st = jax.lax.while_loop(
             cond, body,
-            (zi, zi, zi, zf, zf, zf, zf, zi, zi, zi, zi, zi))
+            (zi, zi, zi, zf, zf, zf, zf, zi, zi, zi, zi, zi, base0))
         (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
-         nframes, carrier_ns, n_ev, n_by, stop_f) = st
+         nframes, carrier_ns, n_ev, n_by, stop_f, win_base) = st
         carrier = carrier_f != 0
 
         @pl.when(carrier)
@@ -374,7 +413,10 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
 
         n_ev_final = n_ev + jnp.where(carrier, 1, 0)
 
-        # flush VMEM accumulators to the outputs ([E,8] -> [1,8,E] etc)
+        # flush VMEM accumulators to the outputs ([E,8] -> [1,8,E] etc);
+        # mosaic requires the last two block dims be 8/128-divisible or
+        # full, so outputs stay [B,8,E]/[B,1,E] here and the wrapper
+        # transposes to the XLA compact receiver's layout
         ev_ref[...] = ev_vmem[...].T[None]
         bytes_ref[...] = bytes_vmem[...].reshape(1, 1, e_pad)
         nev_ref[b] = n_ev_final
@@ -387,16 +429,18 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),       # total [B]
             pl.BlockSpec(memory_space=pltpu.SMEM),       # thresholds [2]
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # candidates [4,K]
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # valid mask [4,K]
-            pl.BlockSpec(memory_space=pltpu.ANY),        # packed scores HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # coarse cand [2,Kc]
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # coarse valid
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # fine cand [2,Kf]
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # fine valid
+            pl.BlockSpec(memory_space=pl.ANY),           # packed scores HBM
         ],
         out_specs=(
             pl.BlockSpec((1, 8, e_pad), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),       # events
             pl.BlockSpec(memory_space=pltpu.SMEM),       # n_events [B]
             pl.BlockSpec((1, 1, e_pad), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),       # bytes (u32)
+                         memory_space=pltpu.VMEM),       # bytes (i32)
             pl.BlockSpec(memory_space=pltpu.SMEM),       # n_bytes [B]
         ),
         out_shape=(
@@ -406,7 +450,7 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
             jax.ShapeDtypeStruct((batch,), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((8, w_fetch), jnp.uint32),
+            pltpu.VMEM((8, w_res), jnp.uint32),
             pltpu.VMEM((e_pad, 8), jnp.uint32),
             pltpu.VMEM((e_pad, 1), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
@@ -415,12 +459,79 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
 
     def wrapper(packed, totals, thr2):
         with jax.enable_x64(False):
+            # pad so a refill DMA at any base <= t_total stays in bounds;
+            # padding scores are zeros (conf 0.0 -> never selected)
+            packed = jnp.pad(packed, ((0, 0), (0, w_res)))
             ev, nev, byt, nby = fn(
-                totals, thr2, jnp.asarray(cand_in), jnp.asarray(valid_in),
+                totals, thr2,
+                jnp.asarray(cand_c_in), jnp.asarray(valid_c_in),
+                jnp.asarray(cand_f_in), jnp.asarray(valid_f_in),
                 packed)
-        return ev, nev, byt, nby
+        # match the XLA compact receiver's output form exactly:
+        # (flat packed results, full event log [8, B, E]) — one d2h
+        from .device_rx import pack_compact_results
+
+        ev_t = ev.transpose(1, 0, 2)
+        flat = pack_compact_results(
+            ev_t, nev, byt[:, 0, :].astype(jnp.uint8), nby)
+        return flat, ev_t
 
     return jax.jit(wrapper), max_events, e_pad
+
+
+def mega_default_on() -> bool:
+    """Megakernel dispatch policy: on for TPU-like platforms, off for the
+    CPU/GPU backends (pallas TPU kernels don't lower there).  Overridable
+    with MINIMODEM_TPU_MEGAKERNEL=0/1."""
+    import os
+
+    env = os.environ.get("MINIMODEM_TPU_MEGAKERNEL")
+    if env is not None:
+        return env not in ("0", "", "off")
+    try:
+        import jax
+
+        return jax.devices()[0].platform not in ("cpu", "gpu", "cuda",
+                                                 "rocm")
+    except Exception:
+        return False
+
+
+def mega_supported(cfg_key) -> bool:
+    """Whether the megakernel can serve this geometry: compact byte path
+    (<= 8 data bits), float32 scoring, and a bounded scan window."""
+    from .device_rx import geo_from_key
+
+    n_data_bits = cfg_key[2]
+    if n_data_bits > 8:
+        return False
+    if geo_from_key(cfg_key).use_f64:
+        return False
+    geom = _static_geom(cfg_key)
+    w_scan = max(geom[0]["try_max"], geom[1]["try_max"])
+    w_fetch = ((w_scan + W_LANES - 1) // W_LANES + 1) * W_LANES
+    return w_fetch <= W_FETCH_MAX
+
+
+@functools.lru_cache(maxsize=32)
+def _mega_run_fn(cfg_key, t_total: int, batch: int, rx_one: bool,
+                 input_dtype: str):
+    """Global cache of the packer+megakernel program, so fresh receiver
+    objects (one per decode call in the CLI) reuse traces and
+    executables."""
+    import jax
+
+    from ..utils.aot import jit_mosaic
+    from .device_rx import make_score_packer
+
+    packer = make_score_packer(cfg_key, t_total, input_dtype)
+    kern, max_events, e_pad = build_mega_rx(cfg_key, t_total, rx_one, batch)
+
+    def run(x, totals, thr2):
+        packed = jax.vmap(packer)(x).reshape(batch * 8, t_total)
+        return kern(packed, totals, thr2)
+
+    return jit_mosaic(run), max_events
 
 
 class MegaReceiver:
@@ -439,38 +550,20 @@ class MegaReceiver:
             "mega receiver is float32-only; use DeviceReceiver for "
             "perfect-capable (float64) geometries")
         self.rx_one = rx_one
-        self._fns = {}
 
     def _fn_for(self, t_total: int, batch: int, input_dtype: str):
-        import jax
-        import jax.numpy as jnp
-
-        from .device_rx import make_score_packer
-
-        k = (t_total, batch, input_dtype)
-        cached = self._fns.get(k)
-        if cached is not None:
-            return cached
-        packer = make_score_packer(self.key, t_total, input_dtype)
-        kern, max_events, e_pad = build_mega_rx(
-            self.key, t_total, self.rx_one, batch)
-
-        def run(x, totals, thr2):
-            packed = jax.vmap(packer)(x).reshape(batch * 8, t_total)
-            return kern(packed, totals, thr2)
-
-        cached = (jax.jit(run), max_events)
-        self._fns[k] = cached
-        return cached
+        return _mega_run_fn(self.key, t_total, batch, self.rx_one,
+                            input_dtype)
 
     def run_events_batch(self, samples: np.ndarray, totals,
                          conf_threshold: float, conf_search_limit: float):
+        import jax
         import jax.numpy as jnp
 
         from .device_rx import (
+            _collect_results,
             _round_up_pow2,
             geometry_from_config,
-            unpack_events,
         )
 
         b, L = samples.shape
@@ -483,17 +576,5 @@ class MegaReceiver:
         x = np.zeros((b, t_total + geo.halo), samples.dtype)
         x[:, :min(L, t_total + geo.halo)] = samples[:, :t_total + geo.halo]
         thr2 = np.asarray([conf_threshold, conf_search_limit], np.float32)
-        import jax
-        with jax.enable_x64(False):
-            ev, nev, byt, nby = fn(jnp.asarray(x), jnp.asarray(totals),
-                                   jnp.asarray(thr2))
-        nev = np.asarray(nev)
-        nby = np.asarray(nby)
-        kmax = max(int(nev.max(initial=0)), 1)
-        bmax = max(int(nby.max(initial=0)), 1)
-        ev = np.asarray(ev[:, :, :kmax])              # [B, 8, kmax]
-        byt = np.asarray(byt[:, 0, :bmax]).astype(np.uint8)
-        return [
-            (*unpack_events(ev[i], int(nev[i])), byt[i, :int(nby[i])])
-            for i in range(b)
-        ]
+        out = fn(jnp.asarray(x), jnp.asarray(totals), jnp.asarray(thr2))
+        return _collect_results(out, b, compact=True)

@@ -263,3 +263,77 @@ class Transmitter:
             self.drain(stream)
         self.finish()
         self.drain(stream)
+
+    def transmit_stdin(self, stdin, stream: Optional[Stream],
+                       interactive: bool, tx_carrier: bool) -> None:
+        """The reference's stdin transmit loop (src/minimodem.c:114-250):
+
+        - interactive without --tx-carrier: blocking reads; a SIGALRM
+          one-shot timer (~one bit period after the last byte) fires the
+          trailer + 0.5 s flush mid-stream (src/minimodem.c:139-158,
+          230-240); transmission restarts with leader+sync on the next
+          byte.
+        - otherwise: select() idle detection — when no byte arrives
+          within 1/25 s (or instantly when interactive with --tx-carrier)
+          an idle carrier tone of 1/25 s is emitted
+          (src/minimodem.c:169-237).
+
+        Falls back to bulk transmit when stdin isn't select()-able (e.g.
+        an in-process BytesIO in tests).
+        """
+        import os
+        import select as select_mod
+        import signal
+
+        try:
+            fd = stdin.fileno()
+        except (AttributeError, OSError, ValueError):
+            self.transmit_bytes(stdin.read(), stream)
+            return
+
+        cfg = self.cfg
+        rate = float(cfg.data_rate)
+        idle_sec = 1.0 / 25.0                     # src/minimodem.c:153
+        idle_nsamples = int(idle_sec * cfg.sample_rate)
+        block_input = interactive and not tx_carrier
+        timer_sec = 1.0 / (rate + rate * 0.03)    # src/minimodem.c:143-146
+
+        old_handler = None
+        if block_input:
+            def _on_alarm(sig, frame):
+                self.finish()
+                self.drain(stream)
+
+            old_handler = signal.signal(signal.SIGALRM, _on_alarm)
+
+        try:
+            while True:
+                if block_input:
+                    ready = True
+                else:
+                    timeout = 0.0 if interactive else idle_sec
+                    try:
+                        ready = bool(
+                            select_mod.select([fd], [], [], timeout)[0])
+                    except (OSError, ValueError):
+                        ready = True
+                if ready:
+                    data = os.read(fd, 1)
+                    if not data:
+                        break                      # EOF
+                if block_input:
+                    signal.setitimer(signal.ITIMER_REAL, 0)
+                if ready:
+                    self.send(data[0])
+                else:
+                    self.idle_tone(idle_nsamples)
+                self.drain(stream)
+                if block_input:
+                    signal.setitimer(signal.ITIMER_REAL, timer_sec)
+        finally:
+            if block_input:
+                signal.setitimer(signal.ITIMER_REAL, 0)
+                signal.signal(signal.SIGALRM, old_handler)
+        if self.transmitting:
+            self.finish()
+            self.drain(stream)

@@ -166,16 +166,20 @@ class Receiver:
     # ------------------------------------------------------------------
     def _run_device(self, samples: np.ndarray) -> int:
         """Event-stream path: ops/device_rx.py runs the whole pipeline on
-        device; this loop only renders events (codecs + protocol lines)."""
-        from ..ops.device_rx import DeviceReceiver
+        device; this loop only renders events (codecs + protocol lines).
+        Long streams go through the pipelined receiver so host->device
+        transfer overlaps decode."""
+        from ..ops.device_rx import PipelinedReceiver
 
         opts = self.opts
-        rxer = DeviceReceiver(self.cfg, opts.precision, opts.rx_one)
         dtype = np.int16 if samples.dtype == np.int16 else np.float32
-        result = rxer.run_events(
-            np.ascontiguousarray(samples, dtype),
-            opts.confidence_threshold, opts.confidence_search_limit)
-        return self.render_events(*result)
+        rxer = PipelinedReceiver(self.cfg, opts.precision, opts.rx_one)
+        rc = 0
+        for seg_events in rxer.run(
+                np.ascontiguousarray(samples, dtype),
+                opts.confidence_threshold, opts.confidence_search_limit):
+            rc = self.render_events(*seg_events)
+        return rc
 
     # ------------------------------------------------------------------
     def _run_host_native(self, samples: np.ndarray) -> int:

@@ -1,0 +1,68 @@
+"""Real-TPU megakernel check: parity vs the XLA device receiver + timing.
+
+Usage: python scripts/tpu_mega_bench.py [audio_seconds] [batch]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    audio_seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+
+    from minimodem_tpu.bench import _bench_payload
+    from minimodem_tpu.models.modem import FskModem
+    from minimodem_tpu.ops.device_rx import DeviceReceiver
+    from minimodem_tpu.ops.pallas_rx import MegaReceiver
+
+    m = FskModem("1200", precision="float32")
+    base = _bench_payload(m.cfg, audio_seconds)
+    payloads = [
+        bytes((c + i) % 94 + 33 for c in base) for i in range(batch)
+    ]
+    waves = [m.modulate(p) for p in payloads]
+    L = max(len(w) for w in waves)
+    x = np.zeros((batch, L), np.float32)
+    for i, w in enumerate(waves):
+        x[i, : len(w)] = w
+    totals = [len(w) for w in waves]
+    audio_sec = sum(totals) / m.cfg.sample_rate
+
+    import os
+
+    os.environ["MINIMODEM_TPU_MEGAKERNEL"] = "0"   # force the XLA path
+    xla_rx = DeviceReceiver(m.cfg, "float32")
+    del os.environ["MINIMODEM_TPU_MEGAKERNEL"]
+    t0 = time.perf_counter()
+    ref, _ = xla_rx.run_events_batch(x, totals, 1.5, 2.3)
+    print(f"xla compile+run: {time.perf_counter() - t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    ref, _ = xla_rx.run_events_batch(x, totals, 1.5, 2.3)
+    dt_x = time.perf_counter() - t0
+    print(f"xla warm: {dt_x*1e3:.1f} ms -> {audio_sec/dt_x:.0f}x", flush=True)
+
+    mr = MegaReceiver(m.cfg, "float32")
+    t0 = time.perf_counter()
+    mega = mr.run_events_batch(x, totals, 1.5, 2.3)
+    print(f"mega compile+run: {time.perf_counter() - t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    mega = mr.run_events_batch(x, totals, 1.5, 2.3)
+    dt_m = time.perf_counter() - t0
+    print(f"mega warm: {dt_m*1e3:.1f} ms -> {audio_sec/dt_m:.0f}x", flush=True)
+
+    ok = True
+    for i in range(batch):
+        for a, b in zip(ref[i], mega[i]):
+            if not np.array_equal(a, b):
+                ok = False
+    print(f"parity: {'OK' if ok else 'MISMATCH'}")
+    n_frames = sum(len(e[2]) for e in mega)
+    print(f"frames={n_frames}  mega us/frame={dt_m*1e6/max(n_frames,1):.2f}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

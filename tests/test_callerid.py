@@ -37,3 +37,24 @@ def test_callerid_mdmf(tmp_wav):
 
 def test_callerid_sdmf(tmp_wav):
     _cid_roundtrip(tmp_wav, SDMF_BYTES, SDMF_GOLDEN)
+
+
+# ---- upstream golden vectors (tests/data/README.md): the exact .bytes
+# files the reference ships must decode to its exact .txt goldens
+# (reference: tests/70-callerid-mdmf.test:24-42, 71-callerid-sdmf.test) ----
+
+def _reference_fixture(tmp_wav, name: str):
+    import pathlib
+
+    d = pathlib.Path(__file__).parent / "data"
+    payload = (d / f"testdata-callerid-{name}.bytes").read_bytes()
+    golden = (d / f"testdata-callerid-{name}.txt").read_bytes()
+    _cid_roundtrip(tmp_wav, payload, golden)
+
+
+def test_callerid_mdmf_reference_fixture(tmp_wav):
+    _reference_fixture(tmp_wav, "mdmf")
+
+
+def test_callerid_sdmf_reference_fixture(tmp_wav):
+    _reference_fixture(tmp_wav, "sdmf")

@@ -10,7 +10,11 @@ import pytest
 from minimodem_tpu.codecs import get_codec
 from minimodem_tpu.config import RxOptions
 from minimodem_tpu.models.modem import FskModem
-from minimodem_tpu.ops.device_rx import DeviceReceiver, DeviceStreamReceiver
+from minimodem_tpu.ops.device_rx import (
+    DeviceReceiver,
+    DeviceStreamReceiver,
+    PipelinedReceiver,
+)
 from minimodem_tpu.rx.engine import Receiver
 
 
@@ -51,6 +55,39 @@ def test_streaming_matches_oneshot(feed_size):
     assert ev1 == ev2, (ev1, ev2)
     assert np.array_equal(ev_t1, ev_t2)
     assert np.array_equal(ev_p1, ev_p2)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.int16])
+def test_pipelined_matches_oneshot(dtype):
+    """The segmented/pipelined receiver must produce the same bytes and
+    stats as the one-shot decode, including a carrier gap that spans a
+    segment boundary."""
+    m = FskModem("1200")
+    p1 = bytes((33 + (i % 94)) for i in range(400))
+    p2 = b"after the gap"
+    gap = np.zeros(48000, np.float32)
+    samples = np.concatenate([m.modulate(p1), gap, m.modulate(p2)])
+    if dtype == np.int16:
+        samples = np.clip(samples * 32768.0, -32768, 32767).astype(np.int16)
+
+    def render_all(run):
+        sink = io.BytesIO()
+        errs = []
+        rx = Receiver(m.cfg, RxOptions(), get_codec("ascii8"),
+                      sink.write, errs.append)
+        for seg in run:
+            rx.render_events(*seg)
+        return sink.getvalue(), "".join(errs)
+
+    one = PipelinedReceiver(m.cfg)     # segment > stream: one-shot path
+    out1, err1 = render_all(one.run(samples, 1.5, 2.3))
+    assert out1 == p1 + p2
+
+    seg = PipelinedReceiver(m.cfg, segment_len=1 << 16)
+    assert len(samples) > 3 * seg.segment_len  # force multiple segments
+    out2, err2 = render_all(seg.run(samples, 1.5, 2.3))
+    assert out2 == p1 + p2
+    assert err1 == err2, (err1, err2)
 
 
 def test_streaming_multiple_carriers():
