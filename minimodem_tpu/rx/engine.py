@@ -153,9 +153,10 @@ class Receiver:
         host-only feature is active.
         """
         if engine == "auto":
-            engine = ("host" if self.opts.carrier_autodetect_threshold > 0.0
-                      else "device")
+            engine = "device"
         if engine == "device":
+            if self.opts.carrier_autodetect_threshold > 0.0:
+                return self._run_device_autodetect(samples)
             return self._run_device(samples)
         if samples.dtype == np.int16:
             samples = samples.astype(np.float32) / np.float32(32768.0)
@@ -180,6 +181,101 @@ class Receiver:
                 opts.confidence_threshold, opts.confidence_search_limit):
             rc = self.render_events(*seg_events)
         return rc
+
+    # ------------------------------------------------------------------
+    def _run_device_autodetect(self, samples: np.ndarray) -> int:
+        """-a on the device engine.
+
+        The reference detects the carrier at most once per run
+        (carrier_band is sticky, src/minimodem.c:1180-1181) and decodes
+        nothing before detection, so the decision-exact split is: replay
+        the pre-carrier scan (window advance + per-bit-chunk FFT argmax,
+        src/minimodem.c:1144-1220) on host over the stream prefix, then
+        run the device receiver from the detection point with the
+        retuned basis.
+        """
+        import copy
+
+        if samples.dtype == np.int16:
+            fsamples = samples.astype(np.float32) / np.float32(32768.0)
+        else:
+            fsamples = np.asarray(samples, np.float32)
+        found = self._autodetect_scan(fsamples)
+        if found is None:
+            return 0                       # never acquired: no output
+        b_mark, b_space, start = found
+        cfg2 = copy.copy(self.cfg)
+        cfg2.set_tones_by_bandshift(b_mark, b_space - b_mark)
+        sub = Receiver(cfg2, self.opts, self.codec,
+                       self.write_out, self.write_err)
+        rc = sub._run_device(samples[start:])
+        self.stats = sub.stats
+        return rc
+
+    def _autodetect_scan(self, samples: np.ndarray):
+        """Replay of the reference's pre-detection loop
+        (src/minimodem.c:1144-1220): sliding samplebuf advance/refill,
+        one FFT argmax per bit-sized chunk, band-shift derivation and
+        out-of-range rejection.  Returns (b_mark, b_space,
+        absolute_decode_start) or None."""
+        cfg = self.cfg
+        opts = self.opts
+        total = len(samples)
+        nbits = 1 + cfg.nstartbits + cfg.n_data_bits + 1
+        samplebuf_size = int(
+            np.ceil(np.float32(cfg.nsamples_per_bit))) * (nbits + 1)
+        samplebuf_size *= 2
+        if samplebuf_size < cfg.sample_rate // 12:
+            samplebuf_size = cfg.sample_rate // 12
+        nspb = cfg.nsamples_per_bit
+
+        pos = 0
+        nvalid = 0
+        advance = 0
+        while True:
+            if advance == samplebuf_size:
+                nvalid = 0
+                advance = 0
+            if advance:
+                if advance > nvalid:
+                    return None
+                pos += advance
+                nvalid -= advance
+                advance = 0
+            if nvalid < samplebuf_size // 2:
+                r = min(samplebuf_size // 2, max(0, total - (pos + nvalid)))
+                nvalid += r
+            if nvalid == 0:
+                return None
+
+            nscan_f = nspb if float(nspb) <= cfg.fftsize else f32(cfg.fftsize)
+            nscan = trunc_i(nscan_f)
+            i = 0
+            band = -1
+            while np.float32(i) + nscan_f <= np.float32(nvalid):
+                band = detect_carrier_band(
+                    samples[pos + i: pos + i + nscan], nscan, cfg.fftsize,
+                    opts.carrier_autodetect_threshold)
+                if band >= 0:
+                    break
+                i = trunc_i(np.float32(i) + nscan_f)
+            advance = trunc_i(np.float32(i) + nscan_f)
+            if advance > nvalid:
+                advance = nvalid
+            if band < 0:
+                continue
+            b_shift = -trunc_i(f32_div(
+                f32_add(cfg.autodetect_shift, f32_div(cfg.band_width, 2.0)),
+                cfg.band_width))
+            if cfg.inverted_freqs:
+                b_shift *= -1
+            b_space = band + b_shift
+            if b_space < 1 or b_space >= cfg.nbands:
+                continue                   # reject; keep scanning
+            # decode resumes at the current window origin (the pending
+            # autodetect advance is overwritten by the frame search,
+            # reference: src/minimodem.c:1296,1407)
+            return band, b_space, pos
 
     # ------------------------------------------------------------------
     def _run_host_native(self, samples: np.ndarray) -> int:

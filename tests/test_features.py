@@ -38,6 +38,27 @@ def test_auto_carrier_nondefault_tone(tmp_wav):
     assert out == text, err
 
 
+def test_auto_carrier_deterministic_integer_ratio(tmp_wav):
+    """Deterministic -a: integer-ratio tones (24000 Hz / 300 baud /
+    M=1200 S=2400) put the mark tone exactly on a detection-FFT bin, so
+    the band argmax cannot leak and the detected carrier frequency and
+    decode are pinned (exceeds the reference's own suite, which ships no
+    -a test).  Runs on the device engine (host scan + retuned device
+    decode, rx/engine.py:_run_device_autodetect)."""
+    text = b"DETERMINISTIC AUTODETECT 42\n"
+    wav = tmp_wav()
+    code, _, err = run_cli(
+        ["--tx", "--file", wav, "--samplerate", "24000",
+         "-M", "1200", "-S", "2400", "300"], text)
+    assert code == 0, err
+    code, out, err = run_cli(
+        ["--rx", "-a", "--file", wav, "--samplerate", "24000", "300"])
+    assert code == 0, err
+    assert out == text, err
+    assert "### CARRIER 300 @ 1200.0 Hz ###" in err, err
+    assert "(rate perfect)" in err, err
+
+
 def test_binary_output(tmp_wav):
     wav = tmp_wav()
     code, _, err = run_cli(["--tx", "--file", wav, "1200"], b"A")
