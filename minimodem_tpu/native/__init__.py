@@ -59,8 +59,8 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     if _tried:
         return None
     _tried = True
-    if not os.path.exists(_SO) and auto_build:
-        build()
+    if auto_build:
+        build()          # no-op when the .so is newer than the sources
     if not os.path.exists(_SO):
         return None
     try:
@@ -82,6 +82,15 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     lib.mm_wav_read_data.argtypes = [
         ctypes.c_char_p, ctypes.c_longlong, ctypes.c_void_p,
         ctypes.c_longlong]
+    if hasattr(lib, "mm_flac_info"):
+        lib.mm_flac_info.restype = ctypes.c_int
+        lib.mm_flac_info.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_longlong)]
+        lib.mm_flac_read.restype = ctypes.c_longlong
+        lib.mm_flac_read.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_longlong]
     lib.mm_hostrx_run.restype = ctypes.c_longlong
     lib.mm_hostrx_run.argtypes = [
         ctypes.POINTER(MmRxConfig),

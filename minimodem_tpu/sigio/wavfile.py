@@ -9,10 +9,13 @@ reference: src/simpleaudio-sndfile.c:203-210).
 Containers (selected by filename extension on write, by magic on read,
 mirroring the reference's extension table at
 src/simpleaudio-sndfile.c:111-157):
-- .wav  : RIFF/WAVE, PCM16 or IEEE-float32
+- .wav  : RIFF/WAVE; writes PCM16/24/32 (pcm_bits) or IEEE-float32, reads
+          PCM8/16/24/32, float32/64, and EXTENSIBLE
+- .flac : reads via the native decoder (native/flacdec.cpp), writes via
+          the deterministic encoder (sigio/flacenc.py)
 - .au   : Sun AU, PCM16-BE or float32-BE
 - .raw  : headerless samples at the configured rate/format
-Other containers (FLAC/OGG/...) need external codec libraries that are not
+Other containers (OGG/...) need external codec libraries that are not
 part of this build and raise a clear error.
 """
 
@@ -41,12 +44,14 @@ def _container_from_path(path: str) -> str:
         return "au"
     if ext in ("raw", "pcm", "sw"):
         return "raw"
-    if ext in ("flac", "ogg", "aiff", "aif", "caf", "w64", "voc", "mat4",
+    if ext == "flac":
+        return "flac"
+    if ext in ("ogg", "aiff", "aif", "caf", "w64", "voc", "mat4",
                "mat5", "paf", "svx", "nist", "ircam", "pvf", "xi", "htk",
                "sds", "avr", "wavex", "sd2", "wve", "mpc2k", "rf64"):
         raise RuntimeError(
             f"E: container '.{ext}' requires an external codec library not "
-            f"included in this build; use .wav, .au, or .raw")
+            f"included in this build; use .wav, .flac, .au, or .raw")
     # unknown extension defaults to WAV, like the reference
     # (src/simpleaudio-sndfile.c:159-172)
     return "wav"
@@ -54,15 +59,21 @@ def _container_from_path(path: str) -> str:
 
 class FileStream(Stream):
     def __init__(self, path: str, direction: Direction, fmt: SampleFormat,
-                 rate: int, channels: int):
+                 rate: int, channels: int, pcm_bits: int = 0):
         super().__init__(fmt, rate, channels)
         self.path = path
         self.direction = direction
         self._frames_written = 0
+        # optional PCM depth override for WAV/FLAC writes (16/24/32)
+        self._pcm_bits = pcm_bits or (16 if fmt is SampleFormat.S16 else 0)
+        self._flac_pending = None
         if direction is Direction.PLAYBACK:
             self.container = _container_from_path(path)
             self._fh = open(path, "wb")
-            self._write_header_placeholder()
+            if self.container == "flac":
+                self._flac_pending = []
+            else:
+                self._write_header_placeholder()
         else:
             self._fh = open(path, "rb")
             self._read_header()
@@ -76,11 +87,14 @@ class FileStream(Stream):
         # raw: no header
 
     def _wav_header(self, data_nbytes: int) -> bytes:
-        fmt_tag = (_WAVE_FORMAT_IEEE_FLOAT if self.format is SampleFormat.FLOAT
-                   else _WAVE_FORMAT_PCM)
-        block_align = self.framesize
+        if self._pcm_bits:
+            fmt_tag = _WAVE_FORMAT_PCM
+            bits = self._pcm_bits
+        else:
+            fmt_tag = _WAVE_FORMAT_IEEE_FLOAT
+            bits = 32
+        block_align = (bits // 8) * self.channels
         byte_rate = self.rate * block_align
-        bits = self.samplesize * 8
         chunks = b""
         chunks += struct.pack(
             "<4sIHHIIHH", b"fmt ", 16, fmt_tag, self.channels,
@@ -99,15 +113,42 @@ class FileStream(Stream):
             ">4sIIIII", _AU_MAGIC, 24, data_nbytes, enc, self.rate,
             self.channels)
 
+    def _native_pcm_depth(self) -> bool:
+        """True when the file encoding equals the app sample format."""
+        if self.format is SampleFormat.S16:
+            return self._pcm_bits == 16
+        return self._pcm_bits == 0
+
+    def _encode_pcm(self, buf: np.ndarray) -> bytes:
+        """Re-quantize app samples to the PCM24/32 file depth
+        (libsndfile's float->PCM convention: scale by 2^(bits-1), clip)."""
+        bits = self._pcm_bits
+        if self.format is SampleFormat.FLOAT:
+            scale = float(1 << (bits - 1))
+            v = np.rint(np.asarray(buf, np.float64) * scale)
+            v = np.clip(v, -scale, scale - 1).astype("<i4")
+        else:
+            v = np.asarray(buf, np.int64) << (bits - 16)
+            v = v.astype("<i4")
+        if bits == 32:
+            return v.tobytes()
+        return v.view(np.uint8).reshape(-1, 4)[:, :3].tobytes()  # PCM24 LE
+
     def _write(self, buf: np.ndarray) -> int:
         buf = np.asarray(buf, dtype=self.format.dtype)
-        if self.container == "au":
+        nframes = buf.size // self.channels if self.channels else buf.size
+        self._frames_written += nframes
+        if self.container == "flac":
+            self._flac_pending.append(np.array(buf, copy=True))
+            return nframes
+        if self.container == "wav" and not self._native_pcm_depth():
+            data = self._encode_pcm(buf)
+        elif self.container == "au":
             data = buf.astype(buf.dtype.newbyteorder(">")).tobytes()
         else:
             data = buf.astype(buf.dtype.newbyteorder("<")).tobytes()
         self._fh.write(data)
-        nframes = buf.size // self.channels if self.channels else buf.size
-        self._frames_written += nframes
+        self._data_bytes = getattr(self, "_data_bytes", 0) + len(data)
         return nframes
 
     # ================= read side =================
@@ -117,6 +158,8 @@ class FileStream(Stream):
             self._parse_wav()
         elif magic == _AU_MAGIC:
             self._parse_au()
+        elif magic == b"fLaC":
+            self._parse_flac()
         else:
             # headerless: raw samples at configured rate/format
             self._fh.seek(0)
@@ -186,7 +229,52 @@ class FileStream(Stream):
         size = os.fstat(self._fh.fileno()).st_size
         self._data_remaining = min(data_size, size - data_off)
 
+    def _parse_flac(self) -> None:
+        """Decode the whole FLAC stream up front via the native decoder
+        (native/flacdec.cpp) and serve reads from memory."""
+        import ctypes
+
+        from .. import native
+
+        self.container = "flac"
+        lib = native.load()
+        if lib is None or not hasattr(lib, "mm_flac_info"):
+            raise RuntimeError(
+                f"{self.path}: FLAC read needs the native library "
+                f"(make -C minimodem_tpu/native)")
+        rate = ctypes.c_int()
+        nch = ctypes.c_int()
+        bits = ctypes.c_int()
+        nfr = ctypes.c_longlong()
+        rc = lib.mm_flac_info(self.path.encode(), ctypes.byref(rate),
+                              ctypes.byref(nch), ctypes.byref(bits),
+                              ctypes.byref(nfr))
+        if rc != 0:
+            raise RuntimeError(f"{self.path}: not a decodable FLAC stream")
+        self.rate = rate.value
+        self.channels = nch.value
+        self._src_bits = bits.value
+        self._src_fmt_tag = _WAVE_FORMAT_PCM
+        total = int(nfr.value)
+        buf = np.zeros(max(total, 1) * self.channels, np.int32)
+        got = lib.mm_flac_read(
+            self.path.encode(),
+            buf.ctypes.data_as(ctypes.c_void_p), total)
+        if got < 0:
+            raise RuntimeError(f"{self.path}: FLAC decode failed")
+        self._flac_buf = buf[: int(got) * self.channels]
+        self._flac_pos = 0
+        self._src_dtype = "flac"
+        self._data_remaining = self._flac_buf.size * 4
+
     def _read(self, nframes: int) -> np.ndarray:
+        if self._src_dtype == "flac":
+            n = min(nframes * self.channels,
+                    self._flac_buf.size - self._flac_pos)
+            vals = self._flac_buf[self._flac_pos: self._flac_pos + n]
+            self._flac_pos += n
+            self._data_remaining = (self._flac_buf.size - self._flac_pos) * 4
+            return self._convert(vals)
         if self._src_dtype == "i24":
             return self._read_pcm24(nframes)
         dt = np.dtype(self._src_dtype)
@@ -237,13 +325,24 @@ class FileStream(Stream):
     # ================= close =================
     def _close(self) -> None:
         if self.direction is Direction.PLAYBACK:
-            data_nbytes = self._frames_written * self.framesize
-            if self.container == "wav":
-                self._fh.seek(0)
-                self._fh.write(self._wav_header(data_nbytes))
-            elif self.container == "au":
-                self._fh.seek(0)
-                self._fh.write(self._au_header(data_nbytes))
+            if self.container == "flac":
+                from .flacenc import encode
+
+                pend = (np.concatenate(self._flac_pending)
+                        if self._flac_pending
+                        else np.zeros(0, self.format.dtype))
+                bps = self._pcm_bits or 16
+                if self.format is SampleFormat.S16 and bps != 16:
+                    pend = pend.astype(np.int32) << (bps - 16)
+                self._fh.write(encode(pend, self.rate, self.channels, bps))
+            else:
+                data_nbytes = getattr(self, "_data_bytes", 0)
+                if self.container == "wav":
+                    self._fh.seek(0)
+                    self._fh.write(self._wav_header(data_nbytes))
+                elif self.container == "au":
+                    self._fh.seek(0)
+                    self._fh.write(self._au_header(data_nbytes))
         self._fh.close()
 
 

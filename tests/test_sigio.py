@@ -118,3 +118,96 @@ def test_benchmarks_cli_mode(capsys):
     out = capsys.readouterr().out
     assert out.count("generate-tones-") == 4
     assert out.count("performance:") == 4
+
+
+# ---------------- FLAC (native decoder + python encoder) ----------------
+
+def test_flac_s16_roundtrip_exact(tmp_path):
+    """Encoder (sigio/flacenc.py) -> native decoder (native/flacdec.cpp)
+    must be bit-exact and actually compress tonal audio."""
+    path = str(tmp_path / "t.flac")
+    rng = np.random.default_rng(7)
+    data = np.concatenate([
+        (np.sin(np.linspace(0, 900, 30000)) * 24000).astype(np.int16),
+        np.zeros(4000, np.int16),                       # CONSTANT subframes
+        rng.integers(-32000, 32000, 2000).astype(np.int16),  # VERBATIM-ish
+    ])
+    _write(path, SampleFormat.S16, data)
+    back, rate, ch = read_all(path, SampleFormat.S16)
+    assert (rate, ch) == (48000, 1)
+    assert np.array_equal(back, data)
+    import os
+    assert os.path.getsize(path) < data.size * 2  # compressed
+
+
+def test_flac_float_write_read(tmp_path):
+    path = str(tmp_path / "t.flac")
+    data = (np.sin(np.linspace(0, 250, 20000)) * 0.7).astype(np.float32)
+    _write(path, SampleFormat.FLOAT, data)
+    back, rate, ch = read_all(path, SampleFormat.FLOAT)
+    assert np.max(np.abs(back[: len(data)] - data)) < 1 / 16384  # 16-bit q
+
+
+def test_flac_write_deterministic(tmp_path):
+    data = (np.sin(np.linspace(0, 500, 10000)) * 15000).astype(np.int16)
+    p1, p2 = str(tmp_path / "a.flac"), str(tmp_path / "b.flac")
+    _write(p1, SampleFormat.S16, data)
+    _write(p2, SampleFormat.S16, data)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_flac_cli_roundtrip(tmp_path):
+    """TX to .flac and RX from .flac through the full CLI (the capability
+    the reference gets from libsndfile, src/simpleaudio-sndfile.c:111-157)."""
+    from .helpers import run_cli
+
+    path = str(tmp_path / "m.flac")
+    text = b"flac container round trip\n"
+    code, _, err = run_cli(["--tx", "--file", path, "1200"], text)
+    assert code == 0, err
+    code, out, err = run_cli(["--rx", "--file", path, "1200"])
+    assert code == 0, err
+    assert out == text, err
+
+
+def test_flac_stereo_and_fixed_orders(tmp_path):
+    """2-channel FLAC with signals exercising higher fixed orders."""
+    from minimodem_tpu.sigio.flacenc import encode
+
+    n = 9000
+    t = np.arange(n, dtype=np.float64)
+    left = (np.sin(t * 0.01) * 12000).astype(np.int16)
+    right = (t % 1000 * 30 - 15000).astype(np.int16)   # ramps: order-2 wins
+    inter = np.empty(n * 2, np.int16)
+    inter[0::2] = left
+    inter[1::2] = right
+    path = str(tmp_path / "st.flac")
+    open(path, "wb").write(encode(inter, 44100, 2, 16))
+    back, rate, ch = read_all(path, SampleFormat.S16)
+    assert (rate, ch) == (44100, 2)
+    assert np.array_equal(back, inter)
+
+
+# ---------------- PCM24/32 WAV write ----------------
+
+@pytest.mark.parametrize("bits", [24, 32])
+def test_wav_pcm_deep_write(tmp_path, bits):
+    path = str(tmp_path / f"d{bits}.wav")
+    data = (np.sin(np.linspace(0, 80, 6000)) * 0.9).astype(np.float32)
+    st = FileStream(path, Direction.PLAYBACK, SampleFormat.FLOAT, 48000, 1,
+                    pcm_bits=bits)
+    st.write(data)
+    st.close()
+    back, rate, ch = read_all(path, SampleFormat.FLOAT)
+    assert np.max(np.abs(back[: len(data)] - data)) < 1 / (1 << 22)
+
+
+def test_wav_pcm24_write_from_s16(tmp_path):
+    path = str(tmp_path / "d24s.wav")
+    data = np.arange(-3000, 3000, 3).astype(np.int16)
+    st = FileStream(path, Direction.PLAYBACK, SampleFormat.S16, 48000, 1,
+                    pcm_bits=24)
+    st.write(data)
+    st.close()
+    back, rate, ch = read_all(path, SampleFormat.S16)
+    assert np.array_equal(back[: len(data)], data)
