@@ -139,6 +139,8 @@ def main(argv=None) -> int:
     sample_fmt = SampleFormat.S16
     sample_rate = 48000
     nchannels = 1
+    sa_backend = "sysdefault"
+    sa_device = None
     tx_amplitude = f32(1.0)
     tx_sin_table_len = 4096
     rx_one = False
@@ -223,10 +225,13 @@ def main(argv=None) -> int:
         elif opt in ("-R", "--samplerate"):
             sample_rate = _atoi(val)
             assert sample_rate > 0
-        elif opt in ("-A", "--alsa", "-s", "--sndio"):
+        elif opt in ("-A", "--alsa"):
+            sa_backend = "alsa"
+            sa_device = val or None
+        elif opt in ("-s", "--sndio"):
             sys.stderr.write(
                 "E: This build of minimodem-tpu was configured without "
-                "system audio support.\n")
+                "sndio support.\n")
             return 1
         elif opt == "--lut":
             tx_sin_table_len = _atoi(val)
@@ -402,10 +407,22 @@ def main(argv=None) -> int:
     ).sanitize()
 
     if filename is None:
-        sys.stderr.write(
-            "E: this build of minimodem-tpu has no system audio support,\n"
-            "E:   so only the --file mode is supported.\n")
-        return 1
+        # live audio: ALSA is the available system backend
+        # (reference default chain pulse->alsa->sndio,
+        # src/simpleaudio.c:71-112)
+        from .sigio.alsa import load_libasound
+
+        if load_libasound() is None:
+            sys.stderr.write(
+                "E: no system audio available on this host (libasound "
+                "not found),\n"
+                "E:   so only the --file mode is supported.\n")
+            return 1
+        if not tx_mode and carrier_autodetect_threshold > 0.0:
+            sys.stderr.write(
+                "E: carrier autodetect (-a) is not supported with live "
+                "audio input; use --file.\n")
+            return 1
 
     # ============== TX ==============
     if tx_mode:
@@ -429,11 +446,17 @@ def main(argv=None) -> int:
         kw = {"usos": usos} if encoder_name == "baudot" else {}
         encoder = get_codec(encoder_name, **kw)
         try:
-            stream = open_stream("file", None, Direction.PLAYBACK, sample_fmt,
-                                 sample_rate, nchannels, "minimodem-tpu",
-                                 filename)
+            if filename is None:
+                stream = open_stream(sa_backend, sa_device,
+                                     Direction.PLAYBACK, sample_fmt,
+                                     sample_rate, nchannels,
+                                     "minimodem-tpu", "output audio")
+            else:
+                stream = open_stream("file", None, Direction.PLAYBACK,
+                                     sample_fmt, sample_rate, nchannels,
+                                     "minimodem-tpu", filename)
         except (OSError, RuntimeError) as e:
-            sys.stderr.write(f"{filename}: {e}\n")
+            sys.stderr.write(f"{filename or 'audio'}: {e}\n")
             return 1
         txer = Transmitter(cfg, tx_opts, encoder, sample_fmt, synth_backend)
         # the reference's stdin loop: select() idle detection + idle
@@ -444,6 +467,9 @@ def main(argv=None) -> int:
         return 0
 
     # ============== RX ==============
+    if filename is None:
+        return _rx_live(cfg, rx_opts, decoder_name, usos, sa_backend,
+                        sa_device, sample_rate, nchannels)
     try:
         stream = open_stream("file", None, Direction.RECORD, sample_fmt,
                              sample_rate, nchannels, "minimodem-tpu", filename)
@@ -509,6 +535,55 @@ def main(argv=None) -> int:
     else:
         ret = rxer.run(samples, engine=engine)
     return -ret if ret < 0 else ret
+
+
+def _rx_live(cfg, rx_opts, decoder_name, usos, sa_backend, sa_device,
+             sample_rate, nchannels) -> int:
+    """Live RX from a system audio capture stream: half-second reads feed
+    the streaming device receiver; SIGINT stops cleanly with final stats
+    (reference: src/minimodem.c:368-374, 1135-1174)."""
+    from .ops.device_rx import DeviceStreamReceiver
+    from .rx.engine import Receiver
+
+    try:
+        stream = open_stream(sa_backend, sa_device, Direction.RECORD,
+                             SampleFormat.FLOAT, sample_rate, nchannels,
+                             "minimodem-tpu", "input audio")
+    except (OSError, RuntimeError) as e:
+        sys.stderr.write(f"audio: {e}\n")
+        return 1
+    try:
+        cfg.finalize()
+    except ConfigError as e:
+        sys.stderr.write(f"E: {e}\n")
+        return 1
+    if decoder_name == "baudot":
+        codec = get_codec("baudot", usos=usos)
+    else:
+        codec = get_codec(decoder_name)
+    out = sys.stdout.buffer
+
+    def write_out(b: bytes) -> None:
+        out.write(b)
+        out.flush()
+
+    rxer = Receiver(cfg, rx_opts, codec, write_out)
+    sr = DeviceStreamReceiver(
+        cfg, rx_opts.precision, rx_opts.rx_one,
+        segment_len=1 << 16,            # ~1.4 s decode latency at 48 kHz
+        conf_threshold=float(rx_opts.confidence_threshold),
+        conf_search_limit=float(rx_opts.confidence_search_limit))
+    try:
+        while True:
+            chunk = stream.read(sample_rate // 2)
+            if chunk.size == 0:
+                break
+            rxer.render_events(*sr.feed(np.asarray(chunk, np.float32)))
+    except KeyboardInterrupt:
+        pass
+    rxer.render_events(*sr.finish())
+    stream.close()
+    return 0
 
 
 def console_entry() -> int:

@@ -119,9 +119,16 @@ def open_stream(
     if backend == "benchmark":
         from .benchmark import BenchmarkStream
         return BenchmarkStream(stream_name, direction, fmt, rate, channels)
-    if backend in ("sysdefault", "alsa", "pulseaudio", "sndio"):
+    if backend in ("sysdefault", "alsa"):
+        from .alsa import AlsaStream, load_libasound
+        if load_libasound() is None:
+            raise RuntimeError(
+                "E: no system audio available on this host (libasound not "
+                "found); use --file mode.")
+        return AlsaStream(device, direction, fmt, rate, channels)
+    if backend in ("pulseaudio", "sndio"):
         raise RuntimeError(
-            f"E: this build of minimodem_tpu has no system audio backend "
-            f"({backend}); only --file mode is supported."
+            f"E: this build of minimodem_tpu has no {backend} backend; "
+            f"use the alsa backend or --file mode."
         )
     raise ValueError(f"no such backend: {backend!r}")
