@@ -52,6 +52,8 @@ USAGE = """usage: minimodem-tpu [--tx|--rx] [options] {baudmode}
 \t\t    -5, --baudot\tBaudot 5-N-1
 \t\t    -u, --usos {0|1}
 \t\t    -f, --file {filename.wav}
+\t\t    -A, --alsa[=plughw:X,Y]
+\t\t    -s, --sndio[=device]
 \t\t    -b, --bandwidth {rx_bandwidth}
 \t\t    -v, --volume {amplitude or 'E'}
 \t\t    -M, --mark {mark_freq}
@@ -229,10 +231,8 @@ def main(argv=None) -> int:
             sa_backend = "alsa"
             sa_device = val or None
         elif opt in ("-s", "--sndio"):
-            sys.stderr.write(
-                "E: This build of minimodem-tpu was configured without "
-                "sndio support.\n")
-            return 1
+            sa_backend = "sndio"
+            sa_device = val or None
         elif opt == "--lut":
             tx_sin_table_len = _atoi(val)
         elif opt == "--float-samples":
@@ -407,17 +407,34 @@ def main(argv=None) -> int:
     ).sanitize()
 
     if filename is None:
-        # live audio: ALSA is the available system backend
-        # (reference default chain pulse->alsa->sndio,
-        # src/simpleaudio.c:71-112)
-        from .sigio.alsa import load_libasound
+        # live audio: resolve the system backend up front so a missing
+        # client library is one clear error (reference default chain
+        # pulse->alsa->sndio, src/simpleaudio.c:71-112)
+        from .sigio import system_backend
 
-        if load_libasound() is None:
-            sys.stderr.write(
-                "E: no system audio available on this host (libasound "
-                "not found),\n"
-                "E:   so only the --file mode is supported.\n")
-            return 1
+        if sa_backend == "sysdefault":
+            resolved = system_backend()
+            if resolved is None:
+                sys.stderr.write(
+                    "E: no system audio available on this host (no "
+                    "libpulse-simple, libasound, or libsndio),\n"
+                    "E:   so only the --file mode is supported.\n")
+                return 1
+            sa_backend = resolved
+        else:
+            loaders = {
+                "pulseaudio": "pulse.load_libpulse",
+                "alsa": "alsa.load_libasound",
+                "sndio": "sndio.load_libsndio",
+            }
+            mod_name, fn_name = loaders[sa_backend].split(".")
+            mod = __import__(f"minimodem_tpu.sigio.{mod_name}",
+                             fromlist=[fn_name])
+            if getattr(mod, fn_name)() is None:
+                sys.stderr.write(
+                    f"E: the {sa_backend} client library is not available "
+                    "on this host; use --file mode.\n")
+                return 1
         if not tx_mode and carrier_autodetect_threshold > 0.0:
             sys.stderr.write(
                 "E: carrier autodetect (-a) is not supported with live "
