@@ -51,12 +51,14 @@ _DIRECT_CONV_MAX_NB = 4096
 def _pallas_eligible(geo) -> bool:
     """Use the Pallas MXU kernel for float32 geometries on TPU backends.
 
-    Opt-in (MINIMODEM_TPU_PALLAS=1): stage 1 costs ~40us per 4M offsets on
-    either path, and the manual-DMA kernel does not auto-batch under vmap
-    (the batched receiver vmaps the scorer)."""
+    Default ON where supported: the banded-matmul kernel correlates
+    ~2.6x faster than the FMA scan on a v5e (1.57 vs 0.62 Goffsets/s at
+    4M offsets, nb=40) and batches under jax.vmap via a custom_vmap rule
+    that folds the batch into the kernel grid.  MINIMODEM_TPU_PALLAS=0
+    forces the XLA scan/FFT paths (debug escape hatch)."""
     import os
 
-    if os.environ.get("MINIMODEM_TPU_PALLAS") != "1":
+    if os.environ.get("MINIMODEM_TPU_PALLAS", "1") == "0":
         return False
     if geo.use_f64:
         return False

@@ -101,26 +101,126 @@ def _build(nb: int, n_tiles: int):
     return fn
 
 
+@functools.lru_cache(maxsize=32)
+def _build_batch(nb: int, n_tiles: int, batch: int):
+    """Batched variant: grid (batch, n_tiles), streams flattened into ONE
+    contiguous 1-D HBM array of `batch` rows x `row` samples (row is a
+    1024-multiple, so every DMA start stays aligned).  The DMA is then
+    shape-identical to the single-stream kernel's, which mosaic compiles.
+
+    This is how the kernel serves `jax.vmap` (via the custom_vmap rule in
+    `_make_correlator`): a leading grid axis over streams, NOT a vmapped
+    pallas_call — the manual HBM DMA below can't be auto-batched."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kdim = _kdim(nb)
+    xs_len = TILE + ((kdim + 1023) // 1024) * 1024
+    row = n_tiles * TILE + ((kdim + 1023) // 1024) * 1024
+
+    def kernel(x_hbm, w_ref, out_ref, xs, x2, sem):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        dma = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(b * row + i * TILE, xs_len)], xs, sem)
+        dma.start()
+        dma.wait()
+
+        for a in range(ROWS):
+            x2[a, :] = xs[a * 128: a * 128 + kdim]
+        prod = jnp.dot(x2[...], w_ref[...],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)   # [ROWS, 512]
+        out_ref[...] = (
+            prod.reshape(ROWS, 4, 128).transpose(1, 0, 2)
+            .reshape(1, 4, TILE))
+
+    fn = pl.pallas_call(
+        kernel,
+        grid=(batch, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # x [B*row] in HBM
+            pl.BlockSpec((kdim, 512), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),     # W replicated
+        ],
+        out_specs=pl.BlockSpec((1, 4, TILE), lambda b, i: (b, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, 4, n_tiles * TILE),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((xs_len,), jnp.float32),
+            pltpu.VMEM((ROWS, kdim), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return fn
+
+
 def backend_supports_pallas() -> bool:
     import jax
 
     return jax.default_backend() in ("tpu", "axon")
 
 
-def correlate_pallas(x, basis_np: np.ndarray, s_len: int):
-    """x: [L] f32 on device; basis_np: [4, nb] host constant.
-    Returns corr [4, s_len].  Requires L >= n_tiles*TILE + KDIM."""
-    nb = basis_np.shape[1]
+def _padded_len(nb: int, s_len: int) -> "tuple[int, int]":
     kdim = _kdim(nb)
     n_tiles = -(-s_len // TILE)
+    # TILE and the kdim round-up are both 1024-multiples, so `need` is too —
+    # which keeps every HBM row 1024-aligned in the batched layout
     need = n_tiles * TILE + ((kdim + 1023) // 1024) * 1024
-    L = int(x.shape[0])
-    if L < need:
-        x = jnp.pad(x, (0, need - L))
-    fn = _build(nb, n_tiles)
-    w = jnp.asarray(make_banded_w(np.asarray(basis_np, np.float32)))
-    # trace the kernel with x64 promotion off: mosaic lowering loops on the
-    # i64 index constants that x64 mode injects
-    with jax.enable_x64(False):
-        corr = fn(x, w)
-    return corr[:, :s_len]
+    return n_tiles, need
+
+
+@functools.lru_cache(maxsize=64)
+def _make_correlator(basis_bytes: bytes, nb: int, s_len: int):
+    """vmap-aware correlator for a fixed basis and output length.
+
+    The single-stream impl runs the 1-D grid kernel; `jax.vmap` over it
+    dispatches to the explicitly batched 2-D grid kernel via
+    jax.custom_batching.custom_vmap (a vmapped pallas_call with manual
+    HBM DMA is unsupported, see _build_batch)."""
+    basis_np = np.frombuffer(basis_bytes, np.float32).reshape(4, nb).copy()
+    w_np = make_banded_w(basis_np)
+    n_tiles, need = _padded_len(nb, s_len)
+
+    def _single(x):
+        L = int(x.shape[0])
+        if L < need:
+            x = jnp.pad(x, (0, need - L))
+        else:
+            x = x[:need]
+        # trace the kernel with x64 promotion off: mosaic lowering loops
+        # on the i64 index constants that x64 mode injects
+        with jax.enable_x64(False):
+            corr = _build(nb, n_tiles)(x, jnp.asarray(w_np))
+        return corr[:, :s_len]
+
+    def _batched(x):
+        B, L = int(x.shape[0]), int(x.shape[1])
+        if L < need:
+            x = jnp.pad(x, ((0, 0), (0, need - L)))
+        else:
+            x = x[:, :need]
+        with jax.enable_x64(False):
+            corr = _build_batch(nb, n_tiles, B)(
+                x.reshape(B * need), jnp.asarray(w_np))
+        return corr[:, :, :s_len]
+
+    corr_fn = jax.custom_batching.custom_vmap(_single)
+
+    @corr_fn.def_vmap
+    def _vmap_rule(axis_size, in_batched, x):  # noqa: ANN001
+        del axis_size
+        (x_batched,) = in_batched
+        assert x_batched, "correlate_pallas vmap rule needs a batched x"
+        return _batched(x), True
+
+    return corr_fn
+
+
+def correlate_pallas(x, basis_np: np.ndarray, s_len: int):
+    """x: [L] f32 on device; basis_np: [4, nb] host constant.
+    Returns corr [4, s_len].  Batches transparently under jax.vmap."""
+    basis32 = np.ascontiguousarray(basis_np, np.float32)
+    fn = _make_correlator(basis32.tobytes(), basis32.shape[1], int(s_len))
+    return fn(x)

@@ -24,6 +24,41 @@ def test_banded_w_layout():
     assert w[2, 0] == 0.0
 
 
+def test_interpret_mode_batched_vmap(monkeypatch):
+    """jax.vmap over correlate_pallas dispatches to the batched 2-D-grid
+    kernel (custom_vmap rule) and matches the per-stream scan."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    P._build.cache_clear()
+    P._build_batch.cache_clear()
+    P._make_correlator.cache_clear()
+    try:
+        geo = geometry_from_config(bell202().cfg, "float32")
+        basis = make_basis(geo, np.float32)
+        s_len = P.TILE
+        x = np.random.default_rng(3).standard_normal(
+            (3, s_len + geo.nb + 2048)).astype(np.float32)
+        xj = jnp.asarray(x)
+        ref = np.asarray(jax.vmap(
+            lambda v: _correlate_direct(v, jnp.asarray(basis), s_len))(xj))
+        pal = np.asarray(jax.vmap(
+            lambda v: P.correlate_pallas(v, basis, s_len))(xj))
+        np.testing.assert_allclose(pal, ref, rtol=1e-5, atol=1e-5)
+    finally:
+        P._build.cache_clear()
+        P._build_batch.cache_clear()
+        P._make_correlator.cache_clear()
+
+
 def test_interpret_mode_matches_scan(monkeypatch):
     import functools
 
