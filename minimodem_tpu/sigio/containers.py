@@ -1,0 +1,776 @@
+"""PCM-family audio container codecs (reference: src/simpleaudio-sndfile.c).
+
+The reference reaches ~25 container majors through libsndfile's
+extension table (src/simpleaudio-sndfile.c:111-157).  This module
+implements the PCM-family members as self-contained header codecs around
+the same sample pipeline the WAV/AU writers use — byte-deterministic
+output, no timestamps, no peak chunks:
+
+  aiff/aif (incl. AIFC fl32/sowt), caf, w64, rf64, wavex, nist (SPHERE),
+  ircam, pvf, htk, avr, voc, svx (IFF/16SV)
+
+Compressed/codec containers live elsewhere (flac: native/flacdec.cpp +
+sigio/flacenc.py; ogg: sigio/oggvorbis.py).  The few remaining majors
+(paf, mat4, mat5, xi, sds, sd2, wve, mpc2k) raise the configured-without
+error in wavfile._container_from_path.
+
+Each codec provides:
+- header(stream, data_nbytes) -> bytes   (placeholder at open, final at
+  close; always the same length for a given stream)
+- encode(stream, buf) -> bytes           (app samples -> wire bytes)
+- sniff(head, ext) -> bool               (read-side detection)
+- parse(stream) -> None                  (set rate/channels/_src_dtype/
+  _src_bits/_src_fmt_tag/_data_remaining, seek fh to the data start)
+
+Sample conversion conventions follow libsndfile (float <-> PCM via
+2^(bits-1) with clip), matching wavfile._encode_pcm/_convert.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+from . import SampleFormat
+
+_PCM = 1        # mirrors wavfile._WAVE_FORMAT_PCM
+_FLOAT = 3      # mirrors wavfile._WAVE_FORMAT_IEEE_FLOAT
+
+
+# ---------------------------------------------------------------- helpers
+def _quantize16(buf: np.ndarray) -> np.ndarray:
+    """float [-1,1] -> int16, libsndfile convention (scale 2^15, clip)."""
+    v = np.rint(np.asarray(buf, np.float64) * 32768.0)
+    return np.clip(v, -32768, 32767).astype(np.int16)
+
+
+def _wire(stream, buf: np.ndarray, dtype: str) -> bytes:
+    """App samples -> the container's wire encoding."""
+    dt = np.dtype(dtype)
+    if dt.kind == "f":
+        if stream.format is SampleFormat.S16:
+            buf = np.asarray(buf, np.float32) / np.float32(32768.0)
+        return np.asarray(buf, np.float32).astype(dt).tobytes()
+    if stream.format is SampleFormat.FLOAT:
+        buf = _quantize16(buf)
+    return np.asarray(buf, np.int16).astype(dt).tobytes()
+
+
+def _ext80(rate: float) -> bytes:
+    """80-bit IEEE extended float, for the AIFF COMM sample rate."""
+    if rate == 0:
+        return b"\x00" * 10
+    m = int(rate)
+    e = 16383 + 63
+    while m < (1 << 63):
+        m <<= 1
+        e -= 1
+    return struct.pack(">HQ", e, m)
+
+
+def _from_ext80(raw: bytes) -> int:
+    e, m = struct.unpack(">HQ", raw)
+    if e == 0 and m == 0:
+        return 0
+    return int(round(m * 2.0 ** (e - 16383 - 63)))
+
+
+def _u32(x: int) -> bytes:
+    return struct.pack(">I", x)
+
+
+class _Codec:
+    name = ""
+    exts: tuple = ()
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        raise NotImplementedError
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        raise NotImplementedError
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        return False
+
+    def parse(self, stream) -> None:
+        raise NotImplementedError
+
+
+def _set_src(stream, rate, channels, dtype, bits, fmt_tag, remaining):
+    stream.rate = rate
+    stream.channels = channels
+    stream._src_dtype = dtype
+    stream._src_bits = bits
+    stream._src_fmt_tag = fmt_tag
+    stream._data_remaining = remaining
+
+
+def _file_size(stream) -> int:
+    return os.fstat(stream._fh.fileno()).st_size
+
+
+# ------------------------------------------------------------------- AIFF
+class Aiff(_Codec):
+    """AIFF / AIFC.  PCM16 big-endian; float32 written as AIFC 'fl32'.
+    Reads NONE/twos (BE PCM), sowt (LE PCM16), fl32/FL32 (BE float)."""
+
+    name = "aiff"
+    exts = ("aiff", "aif")
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        ch = stream.channels
+        is_float = stream.format is SampleFormat.FLOAT
+        bits = 32 if is_float else 16
+        nframes = data_nbytes // (ch * bits // 8) if ch else 0
+        if is_float:
+            # pascal-string name "float32": count byte + 7 chars = 8 (even)
+            comm = struct.pack(">hLh", ch, nframes, bits) + \
+                _ext80(stream.rate) + b"fl32" + b"\x07float32"
+            body = (b"FVER" + _u32(4) + _u32(0xA2805140)
+                    + b"COMM" + _u32(len(comm)) + comm)
+            form_type = b"AIFC"
+        else:
+            comm = struct.pack(">hLh", ch, nframes, bits) + \
+                _ext80(stream.rate)
+            body = b"COMM" + _u32(len(comm)) + comm
+            form_type = b"AIFF"
+        body += b"SSND" + _u32(data_nbytes + 8) + _u32(0) + _u32(0)
+        return (b"FORM" + _u32(4 + len(body) + data_nbytes) + form_type
+                + body)
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        dt = ">f4" if stream.format is SampleFormat.FLOAT else ">i2"
+        return _wire(stream, buf, dt)
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        return head[:4] == b"FORM" and head[8:12] in (b"AIFF", b"AIFC")
+
+    def parse(self, stream) -> None:
+        fh = stream._fh
+        fh.seek(4)
+        (_form_size,) = struct.unpack(">I", fh.read(4))
+        fh.read(4)  # AIFF/AIFC
+        comm = None
+        compression = b"NONE"
+        while True:
+            hdr = fh.read(8)
+            if len(hdr) < 8:
+                raise RuntimeError(f"{stream.path}: no SSND chunk")
+            cid, csize = struct.unpack(">4sI", hdr)
+            if cid == b"COMM":
+                body = fh.read(csize + (csize & 1))
+                comm = struct.unpack(">hLh", body[:8])
+                rate = _from_ext80(body[8:18])
+                if csize > 18:
+                    compression = body[18:22]
+            elif cid == b"SSND":
+                off, _blk = struct.unpack(">II", fh.read(8))
+                fh.seek(off, 1)
+                data_nbytes = csize - 8 - off
+                break
+            else:
+                fh.seek(csize + (csize & 1), 1)
+        if comm is None:
+            raise RuntimeError(f"{stream.path}: no COMM chunk")
+        ch, _nframes, bits = comm
+        if compression in (b"fl32", b"FL32"):
+            _set_src(stream, rate, ch, np.dtype(">f4"), 32, _FLOAT,
+                     data_nbytes)
+        elif compression == b"sowt":
+            _set_src(stream, rate, ch, np.dtype("<i2"), 16, _PCM,
+                     data_nbytes)
+        elif compression in (b"NONE", b"twos"):
+            dt = {8: np.dtype(np.int8), 16: np.dtype(">i2"),
+                  32: np.dtype(">i4")}.get(bits)
+            if dt is None:
+                raise RuntimeError(
+                    f"{stream.path}: unsupported AIFF bit depth {bits}")
+            _set_src(stream, rate, ch, dt, bits, _PCM, data_nbytes)
+        else:
+            raise RuntimeError(
+                f"{stream.path}: unsupported AIFC compression "
+                f"{compression!r}")
+
+
+# -------------------------------------------------------------------- CAF
+class Caf(_Codec):
+    """Apple Core Audio Format: 'lpcm' little-endian int16 or float32
+    (formatFlags bit0=float, bit1=littleEndian).  Reads both endiannesses
+    at 16/32 bits.  Layout: Apple CAF spec chapter 2."""
+
+    name = "caf"
+    exts = ("caf",)
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        ch = stream.channels
+        is_float = stream.format is SampleFormat.FLOAT
+        bits = 32 if is_float else 16
+        flags = (1 if is_float else 0) | 2          # little-endian
+        bpp = ch * bits // 8
+        desc = struct.pack(">d4sIIIII", float(stream.rate), b"lpcm",
+                           flags, bpp, 1, ch, bits)
+        out = b"caff" + struct.pack(">HH", 1, 0)
+        out += b"desc" + struct.pack(">q", len(desc)) + desc
+        out += b"data" + struct.pack(">q", 4 + data_nbytes) + _u32(0)
+        return out
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        dt = "<f4" if stream.format is SampleFormat.FLOAT else "<i2"
+        return _wire(stream, buf, dt)
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        return head[:4] == b"caff"
+
+    def parse(self, stream) -> None:
+        fh = stream._fh
+        fh.seek(8)
+        desc = None
+        while True:
+            hdr = fh.read(12)
+            if len(hdr) < 12:
+                raise RuntimeError(f"{stream.path}: no data chunk")
+            cid, csize = struct.unpack(">4sq", hdr)
+            if cid == b"desc":
+                desc = struct.unpack(">d4sIIIII", fh.read(32))
+            elif cid == b"data":
+                fh.read(4)  # editCount
+                if csize < 0:  # unknown length: rest of file
+                    csize = _file_size(stream) - fh.tell() + 4
+                data_nbytes = csize - 4
+                break
+            else:
+                fh.seek(csize, 1)
+        if desc is None:
+            raise RuntimeError(f"{stream.path}: no desc chunk")
+        rate, fmt_id, flags, _bpp, _fpp, ch, bits = desc
+        if fmt_id != b"lpcm":
+            raise RuntimeError(
+                f"{stream.path}: unsupported CAF codec {fmt_id!r}")
+        le = bool(flags & 2)
+        bo = "<" if le else ">"
+        if flags & 1:
+            if bits != 32:
+                raise RuntimeError(
+                    f"{stream.path}: unsupported CAF float depth {bits}")
+            dt = np.dtype(bo + "f4")
+            tag = _FLOAT
+        else:
+            dt = {16: np.dtype(bo + "i2"), 32: np.dtype(bo + "i4")}.get(bits)
+            if dt is None:
+                raise RuntimeError(
+                    f"{stream.path}: unsupported CAF bit depth {bits}")
+            tag = _PCM
+        _set_src(stream, int(rate), ch, dt, bits, tag, data_nbytes)
+
+
+# -------------------------------------------------------------------- W64
+_W64_RIFF = bytes.fromhex("72696666912E11CFA5D628DB04C10000")
+_W64_WAVE = bytes.fromhex("77617665F3ACD3118CD100C04F8EDB8A")
+_W64_FMT = bytes.fromhex("666D7420F3ACD3118CD100C04F8EDB8A")
+_W64_DATA = bytes.fromhex("64617461F3ACD3118CD100C04F8EDB8A")
+
+
+class W64(_Codec):
+    """Sony Wave64: WAV's fmt struct inside 16-byte-GUID / 64-bit-size
+    chunks (sizes include the 24-byte chunk header, bodies 8-aligned)."""
+
+    name = "w64"
+    exts = ("w64",)
+
+    def _fmt_body(self, stream) -> bytes:
+        is_float = stream.format is SampleFormat.FLOAT
+        bits = 32 if is_float else 16
+        ba = bits // 8 * stream.channels
+        return struct.pack("<HHIIHH", _FLOAT if is_float else _PCM,
+                           stream.channels, stream.rate, stream.rate * ba,
+                           ba, bits)
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        fmt_body = self._fmt_body(stream) + b"\x00" * 8  # pad 16 -> 24|8
+        out = _W64_FMT + struct.pack("<q", 24 + 16) + fmt_body[:16]
+        # fmt body is 16 bytes; the next chunk must start 8-aligned after
+        # size 40 -> already aligned
+        out += _W64_DATA + struct.pack("<q", 24 + data_nbytes)
+        total = 16 + 8 + 16 + len(out) + data_nbytes
+        return _W64_RIFF + struct.pack("<q", total) + _W64_WAVE + out
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        dt = "<f4" if stream.format is SampleFormat.FLOAT else "<i2"
+        return _wire(stream, buf, dt)
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        return head[:16] == _W64_RIFF
+
+    def parse(self, stream) -> None:
+        fh = stream._fh
+        fh.seek(40)  # riff GUID + size + wave GUID
+        fmt = None
+        while True:
+            hdr = fh.read(24)
+            if len(hdr) < 24:
+                raise RuntimeError(f"{stream.path}: no data chunk")
+            guid, csize = hdr[:16], struct.unpack("<q", hdr[16:])[0]
+            body = csize - 24
+            if guid == _W64_FMT:
+                fmt = struct.unpack("<HHIIHH", fh.read(16))
+                skip = body - 16
+                skip += (-csize) % 8
+                fh.seek(skip, 1)
+            elif guid == _W64_DATA:
+                data_nbytes = body
+                break
+            else:
+                fh.seek(body + ((-csize) % 8), 1)
+        if fmt is None:
+            raise RuntimeError(f"{stream.path}: no fmt chunk")
+        tag, ch, rate, _br, _ba, bits = fmt
+        if tag == _FLOAT:
+            dt = np.dtype("<f4") if bits == 32 else np.dtype("<f8")
+        elif tag == _PCM and bits in (16, 32):
+            dt = np.dtype(f"<i{bits // 8}")
+        else:
+            raise RuntimeError(
+                f"{stream.path}: unsupported W64 format {tag}/{bits}")
+        _set_src(stream, rate, ch, dt, bits, tag, data_nbytes)
+
+
+# ------------------------------------------------------------------- RF64
+class Rf64(_Codec):
+    """EBU RF64: RIFF with 64-bit sizes carried in a ds64 chunk
+    (EBU tech 3306).  Written unconditionally as RF64 (sizes in ds64,
+    riff/data sizes set to 0xFFFFFFFF), like libsndfile's .rf64."""
+
+    name = "rf64"
+    exts = ("rf64",)
+
+    def _fmt_body(self, stream) -> bytes:
+        is_float = stream.format is SampleFormat.FLOAT
+        bits = 32 if is_float else 16
+        ba = bits // 8 * stream.channels
+        return struct.pack("<HHIIHH", _FLOAT if is_float else _PCM,
+                           stream.channels, stream.rate, stream.rate * ba,
+                           ba, bits)
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        fmt_body = self._fmt_body(stream)
+        bits = 32 if stream.format is SampleFormat.FLOAT else 16
+        nframes = data_nbytes // (bits // 8 * stream.channels) \
+            if stream.channels else 0
+        ds64 = struct.pack("<qqqI", 0, data_nbytes, nframes, 0)
+        chunks = b"ds64" + struct.pack("<I", len(ds64)) + ds64
+        chunks += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        chunks += b"data" + struct.pack("<I", 0xFFFFFFFF)
+        riff_size = 4 + len(chunks) + data_nbytes
+        ds64 = struct.pack("<qqqI", riff_size, data_nbytes, nframes, 0)
+        chunks = b"ds64" + struct.pack("<I", len(ds64)) + ds64
+        chunks += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        chunks += b"data" + struct.pack("<I", 0xFFFFFFFF)
+        return (b"RF64" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+                + chunks)
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        dt = "<f4" if stream.format is SampleFormat.FLOAT else "<i2"
+        return _wire(stream, buf, dt)
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        return head[:4] == b"RF64" and head[8:12] == b"WAVE"
+
+    def parse(self, stream) -> None:
+        fh = stream._fh
+        fh.seek(12)
+        fmt = None
+        data64 = None
+        while True:
+            hdr = fh.read(8)
+            if len(hdr) < 8:
+                raise RuntimeError(f"{stream.path}: no data chunk")
+            cid, csize = struct.unpack("<4sI", hdr)
+            if cid == b"ds64":
+                body = fh.read(csize + (csize & 1))
+                _riff64, data64, _n64, _tbl = struct.unpack(
+                    "<qqqI", body[:28])
+            elif cid == b"fmt ":
+                body = fh.read(csize + (csize & 1))
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data_nbytes = csize if csize != 0xFFFFFFFF else data64
+                if data_nbytes is None:
+                    raise RuntimeError(f"{stream.path}: RF64 missing ds64")
+                break
+            else:
+                fh.seek(csize + (csize & 1), 1)
+        if fmt is None:
+            raise RuntimeError(f"{stream.path}: no fmt chunk")
+        tag, ch, rate, _br, _ba, bits = fmt
+        if tag == _FLOAT:
+            dt = np.dtype("<f4") if bits == 32 else np.dtype("<f8")
+        elif tag == _PCM and bits in (16, 32):
+            dt = np.dtype(f"<i{bits // 8}")
+        else:
+            raise RuntimeError(
+                f"{stream.path}: unsupported RF64 format {tag}/{bits}")
+        _set_src(stream, rate, ch, dt, bits, tag, data_nbytes)
+
+
+# ------------------------------------------------------------------ WAVEX
+_KSDATAFORMAT_PCM = bytes.fromhex("0100000000001000800000aa00389b71")
+_KSDATAFORMAT_FLOAT = bytes.fromhex("0300000000001000800000aa00389b71")
+
+
+class Wavex(_Codec):
+    """WAV with a WAVE_FORMAT_EXTENSIBLE fmt chunk, always (what
+    libsndfile's SF_FORMAT_WAVEX major does).  Reading EXTENSIBLE files
+    is already handled by the plain WAV parser (wavfile._parse_wav)."""
+
+    name = "wavex"
+    exts = ("wavex",)
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        is_float = stream.format is SampleFormat.FLOAT
+        bits = 32 if is_float else 16
+        ba = bits // 8 * stream.channels
+        sub = _KSDATAFORMAT_FLOAT if is_float else _KSDATAFORMAT_PCM
+        fmt_body = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, stream.channels, stream.rate,
+            stream.rate * ba, ba, bits, 22, bits,
+            0x4 if stream.channels == 1 else 0x3) + sub
+        chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        if is_float:
+            chunks += b"fact" + struct.pack(
+                "<II", 4, data_nbytes // ba if ba else 0)
+        chunks += b"data" + struct.pack("<I", data_nbytes)
+        riff_size = 4 + len(chunks) + data_nbytes
+        return struct.pack("<4sI4s", b"RIFF", riff_size, b"WAVE") + chunks
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        dt = "<f4" if stream.format is SampleFormat.FLOAT else "<i2"
+        return _wire(stream, buf, dt)
+
+    # read side: RIFF magic routes to wavfile._parse_wav, never here
+
+
+# ---------------------------------------------------------- NIST / SPHERE
+class Nist(_Codec):
+    """NIST SPHERE: 1024-byte ASCII header + PCM16 little-endian."""
+
+    name = "nist"
+    exts = ("nist", "sph")
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        nframes = data_nbytes // (2 * stream.channels) \
+            if stream.channels else 0
+        fields = (
+            f"sample_rate -i {stream.rate}\n"
+            f"channel_count -i {stream.channels}\n"
+            f"sample_n_bytes -i 2\n"
+            f"sample_byte_format -s2 01\n"
+            f"sample_sig_bits -i 16\n"
+            f"sample_coding -s3 pcm\n"
+            f"sample_count -i {nframes}\n"
+            "end_head\n")
+        head = "NIST_1A\n   1024\n" + fields
+        return head.encode().ljust(1024, b" ")
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        return _wire(stream, buf, "<i2")
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        return head[:8] == b"NIST_1A\n"
+
+    def parse(self, stream) -> None:
+        fh = stream._fh
+        head = fh.read(1024).decode("ascii", "replace")
+        kv = {}
+        for line in head.splitlines():
+            parts = line.split()
+            if len(parts) >= 3 and parts[1].startswith("-"):
+                kv[parts[0]] = parts[2]
+            if line.strip() == "end_head":
+                break
+        rate = int(kv.get("sample_rate", 0))
+        ch = int(kv.get("channel_count", 1))
+        nbytes_per = int(kv.get("sample_n_bytes", 2))
+        byte_fmt = kv.get("sample_byte_format", "01")
+        coding = kv.get("sample_coding", "pcm")
+        if not coding.startswith("pcm") or nbytes_per != 2:
+            raise RuntimeError(
+                f"{stream.path}: unsupported SPHERE coding "
+                f"{coding}/{nbytes_per * 8}-bit")
+        bo = "<" if byte_fmt == "01" else ">"
+        count = int(kv.get("sample_count", 0))
+        remaining = count * ch * 2 if count else _file_size(stream) - 1024
+        _set_src(stream, rate, ch, np.dtype(bo + "i2"), 16, _PCM,
+                 remaining)
+
+
+# ------------------------------------------------------------------ IRCAM
+_IRCAM_BE = 0x0001A364
+_IRCAM_LE = 0x64A30100
+_IRCAM_PCM16 = 0x00002
+_IRCAM_FLOAT = 0x00004
+
+
+class Ircam(_Codec):
+    """IRCAM/BICSF: 1024-byte header (magic, rate f32, channels u32,
+    encoding u32), PCM16 or float32; written big-endian."""
+
+    name = "ircam"
+    exts = ("ircam", "sf")
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        is_float = stream.format is SampleFormat.FLOAT
+        enc = _IRCAM_FLOAT if is_float else _IRCAM_PCM16
+        head = struct.pack(">IfII", _IRCAM_BE, float(stream.rate),
+                           stream.channels, enc)
+        return head.ljust(1024, b"\x00")
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        dt = ">f4" if stream.format is SampleFormat.FLOAT else ">i2"
+        return _wire(stream, buf, dt)
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        (m_be,) = struct.unpack(">I", head[:4])
+        return m_be in (_IRCAM_BE, _IRCAM_LE)
+
+    def parse(self, stream) -> None:
+        fh = stream._fh
+        raw = fh.read(16)
+        (m_be,) = struct.unpack(">I", raw[:4])
+        bo = ">" if m_be == _IRCAM_BE else "<"
+        rate, ch, enc = struct.unpack(bo + "fII", raw[4:16])
+        fh.seek(1024)
+        remaining = _file_size(stream) - 1024
+        if enc == _IRCAM_PCM16:
+            _set_src(stream, int(round(rate)), ch, np.dtype(bo + "i2"),
+                     16, _PCM, remaining)
+        elif enc == _IRCAM_FLOAT:
+            _set_src(stream, int(round(rate)), ch, np.dtype(bo + "f4"),
+                     32, _FLOAT, remaining)
+        else:
+            raise RuntimeError(
+                f"{stream.path}: unsupported IRCAM encoding {enc:#x}")
+
+
+# -------------------------------------------------------------------- PVF
+class Pvf(_Codec):
+    """Portable Voice Format: ASCII 'PVF1' header, big-endian PCM."""
+
+    name = "pvf"
+    exts = ("pvf",)
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        return (f"PVF1\n{stream.channels} {stream.rate} 16\n"
+                .encode("ascii"))
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        return _wire(stream, buf, ">i2")
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        return head[:5] == b"PVF1\n"
+
+    def parse(self, stream) -> None:
+        fh = stream._fh
+        fh.readline()                    # PVF1
+        parts = fh.readline().split()
+        ch, rate, bits = int(parts[0]), int(parts[1]), int(parts[2])
+        dt = {8: np.dtype(np.int8), 16: np.dtype(">i2"),
+              32: np.dtype(">i4")}.get(bits)
+        if dt is None:
+            raise RuntimeError(
+                f"{stream.path}: unsupported PVF bit depth {bits}")
+        remaining = _file_size(stream) - fh.tell()
+        _set_src(stream, rate, ch, dt, bits, _PCM, remaining)
+
+
+# -------------------------------------------------------------------- HTK
+class Htk(_Codec):
+    """HTK waveform: 12-byte big-endian header (nSamples, samplePeriod in
+    100 ns units, sampleSize bytes, parmKind 0=WAVEFORM), PCM16 BE, mono.
+    No magic — detected by .htk extension."""
+
+    name = "htk"
+    exts = ("htk",)
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        n = data_nbytes // 2
+        period = round(1e7 / stream.rate) if stream.rate else 0
+        return struct.pack(">IIHH", n, period, 2, 0)
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        return _wire(stream, buf, ">i2")
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        if ext != "htk" or len(head) < 12:
+            return False
+        _n, period, size, kind = struct.unpack(">IIHH", head[:12])
+        return kind == 0 and size == 2 and period > 0
+
+    def parse(self, stream) -> None:
+        fh = stream._fh
+        n, period, size, kind = struct.unpack(">IIHH", fh.read(12))
+        if kind != 0 or size != 2:
+            raise RuntimeError(
+                f"{stream.path}: unsupported HTK sample kind {kind}")
+        rate = int(round(1e7 / period)) if period else 0
+        _set_src(stream, rate, 1, np.dtype(">i2"), 16, _PCM, n * 2)
+
+
+# -------------------------------------------------------------------- AVR
+class Avr(_Codec):
+    """Audio Visual Research: 128-byte big-endian header, PCM16 BE."""
+
+    name = "avr"
+    exts = ("avr",)
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        nframes = data_nbytes // (2 * stream.channels) \
+            if stream.channels else 0
+        stereo = 0xFFFF if stream.channels == 2 else 0
+        return struct.pack(
+            ">4s8sHHHHHIIII", b"2BIT", b"\x00" * 8, stereo, 16, 0xFFFF,
+            0, 0, stream.rate & 0x00FFFFFF, nframes, 0, 0) \
+            + b"\x00" * (128 - 38)
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        return _wire(stream, buf, ">i2")
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        return head[:4] == b"2BIT"
+
+    def parse(self, stream) -> None:
+        fh = stream._fh
+        raw = fh.read(128)
+        _magic, _name, stereo, rez, sign, _loop, _midi, rate, nframes, \
+            _lbeg, _lend = struct.unpack(">4s8sHHHHHIIII", raw[:38])
+        if rez != 16 or sign != 0xFFFF:
+            raise RuntimeError(
+                f"{stream.path}: unsupported AVR sample format "
+                f"({rez}-bit, signed={sign:#x})")
+        ch = 2 if stereo else 1
+        _set_src(stream, rate & 0x00FFFFFF, ch, np.dtype(">i2"), 16,
+                 _PCM, nframes * ch * 2)
+
+
+# -------------------------------------------------------------------- VOC
+class Voc(_Codec):
+    """Creative Voice: 26-byte header + block 9 (format 4 = PCM16 LE)
+    + terminator block 0 on close."""
+
+    name = "voc"
+    exts = ("voc",)
+
+    _MAGIC = b"Creative Voice File\x1a"
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        version = 0x0114
+        check = (~version + 0x1234) & 0xFFFF
+        out = self._MAGIC + struct.pack("<HHH", 26, version, check)
+        bsize = 12 + data_nbytes
+        out += b"\x09" + struct.pack("<I", bsize)[:3]
+        out += struct.pack("<IBBH4x", stream.rate, 16, stream.channels, 4)
+        return out
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        return _wire(stream, buf, "<i2")
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        return head[:20] == self._MAGIC
+
+    def parse(self, stream) -> None:
+        fh = stream._fh
+        fh.seek(20)
+        (hsize,) = struct.unpack("<H", fh.read(2))
+        fh.seek(hsize)
+        while True:
+            btype = fh.read(1)
+            if not btype or btype == b"\x00":
+                raise RuntimeError(f"{stream.path}: no VOC sound block")
+            (bsize,) = struct.unpack("<I", fh.read(3) + b"\x00")
+            if btype == b"\x09":
+                rate, bits, ch, fmt = struct.unpack("<IBBH4x", fh.read(12))
+                if fmt != 4 or bits != 16:
+                    raise RuntimeError(
+                        f"{stream.path}: unsupported VOC format "
+                        f"{fmt}/{bits}-bit")
+                _set_src(stream, rate, ch, np.dtype("<i2"), 16, _PCM,
+                         bsize - 12)
+                return
+            fh.seek(bsize, 1)
+
+
+# -------------------------------------------------------------------- SVX
+class Svx(_Codec):
+    """Amiga IFF 16SV (16-bit) / 8SVX (8-bit read): VHDR + BODY, PCM BE,
+    mono."""
+
+    name = "svx"
+    exts = ("svx", "iff")
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        nframes = data_nbytes // 2
+        vhdr = struct.pack(">IIIHBBI", nframes, 0, 32, stream.rate,
+                           1, 0, 1 << 16)
+        body = b"VHDR" + _u32(len(vhdr)) + vhdr
+        body += b"BODY" + _u32(data_nbytes)
+        return b"FORM" + _u32(4 + len(body) + data_nbytes) + b"16SV" + body
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        if stream.channels != 1:
+            raise RuntimeError("SVX supports mono only")
+        return _wire(stream, buf, ">i2")
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        return head[:4] == b"FORM" and head[8:12] in (b"16SV", b"8SVX")
+
+    def parse(self, stream) -> None:
+        fh = stream._fh
+        fh.seek(8)
+        form = fh.read(4)
+        bits = 16 if form == b"16SV" else 8
+        rate = 0
+        while True:
+            hdr = fh.read(8)
+            if len(hdr) < 8:
+                raise RuntimeError(f"{stream.path}: no BODY chunk")
+            cid, csize = struct.unpack(">4sI", hdr)
+            if cid == b"VHDR":
+                body = fh.read(csize + (csize & 1))
+                rate = struct.unpack(">H", body[12:14])[0]
+            elif cid == b"BODY":
+                data_nbytes = csize
+                break
+            else:
+                fh.seek(csize + (csize & 1), 1)
+        dt = np.dtype(">i2") if bits == 16 else np.dtype(np.int8)
+        _set_src(stream, rate, 1, dt, bits, _PCM, data_nbytes)
+
+
+_CODECS = [Aiff(), Caf(), W64(), Rf64(), Wavex(), Nist(), Ircam(), Pvf(),
+           Htk(), Avr(), Voc(), Svx()]
+_BY_NAME = {}
+for _c in _CODECS:
+    _BY_NAME[_c.name] = _c
+    for _e in _c.exts:
+        _BY_NAME.setdefault(_e, _c)
+
+
+def supported_container(ext: str) -> bool:
+    return ext in _BY_NAME
+
+
+def get_container(name: str):
+    return _BY_NAME[name]
+
+
+def probe_container(fh, path: str):
+    """Identify a container by magic (plus extension for magicless HTK).
+    Leaves fh at position 0."""
+    head = fh.read(64)
+    fh.seek(0)
+    ext = os.path.splitext(path)[1].lower().lstrip(".")
+    for codec in _CODECS:
+        if codec.sniff(head, ext):
+            return codec
+    return None

@@ -13,10 +13,14 @@ src/simpleaudio-sndfile.c:111-157):
           PCM8/16/24/32, float32/64, and EXTENSIBLE
 - .flac : reads via the native decoder (native/flacdec.cpp), writes via
           the deterministic encoder (sigio/flacenc.py)
+- .ogg  : Vorbis via the runtime-loaded Xiph libraries
+          (sigio/oggvorbis.py)
 - .au   : Sun AU, PCM16-BE or float32-BE
 - .raw  : headerless samples at the configured rate/format
-Other containers (OGG/...) need external codec libraries that are not
-part of this build and raise a clear error.
+- .aiff/.aif .caf .w64 .rf64 .wavex .nist .ircam .pvf .htk .avr .voc
+  .svx : PCM-family header codecs (sigio/containers.py)
+The remaining libsndfile majors (paf/mat4/mat5/xi/sds/sd2/wve/mpc2k)
+raise a clear error.
 """
 
 from __future__ import annotations
@@ -46,12 +50,17 @@ def _container_from_path(path: str) -> str:
         return "raw"
     if ext == "flac":
         return "flac"
-    if ext in ("ogg", "aiff", "aif", "caf", "w64", "voc", "mat4",
+    if ext in ("ogg", "oga"):
+        return "ogg"
+    if ext in ("aiff", "aif", "caf", "w64", "voc", "mat4",
                "mat5", "paf", "svx", "nist", "ircam", "pvf", "xi", "htk",
                "sds", "avr", "wavex", "sd2", "wve", "mpc2k", "rf64"):
+        from .containers import supported_container
+        if supported_container(ext):
+            return ext
         raise RuntimeError(
             f"E: container '.{ext}' requires an external codec library not "
-            f"included in this build; use .wav, .flac, .au, or .raw")
+            f"included in this build; use .wav, .flac, .ogg, .au, or .raw")
     # unknown extension defaults to WAV, like the reference
     # (src/simpleaudio-sndfile.c:159-172)
     return "wav"
@@ -67,12 +76,20 @@ class FileStream(Stream):
         # optional PCM depth override for WAV/FLAC writes (16/24/32)
         self._pcm_bits = pcm_bits or (16 if fmt is SampleFormat.S16 else 0)
         self._flac_pending = None
+        self._ogg_writer = None
+        self._codec = None
         if direction is Direction.PLAYBACK:
             self.container = _container_from_path(path)
             self._fh = open(path, "wb")
             if self.container == "flac":
                 self._flac_pending = []
+            elif self.container == "ogg":
+                from .oggvorbis import OggWriter
+                self._ogg_writer = OggWriter(self._fh, rate, channels)
             else:
+                if self.container not in ("wav", "au", "raw"):
+                    from .containers import get_container
+                    self._codec = get_container(self.container)
                 self._write_header_placeholder()
         else:
             self._fh = open(path, "rb")
@@ -84,6 +101,8 @@ class FileStream(Stream):
             self._fh.write(self._wav_header(0))
         elif self.container == "au":
             self._fh.write(self._au_header(0xFFFFFFFF))
+        elif self._codec is not None:
+            self._fh.write(self._codec.header(self, 0))
         # raw: no header
 
     def _wav_header(self, data_nbytes: int) -> bytes:
@@ -141,7 +160,12 @@ class FileStream(Stream):
         if self.container == "flac":
             self._flac_pending.append(np.array(buf, copy=True))
             return nframes
-        if self.container == "wav" and not self._native_pcm_depth():
+        if self.container == "ogg":
+            self._ogg_writer.write(buf)
+            return nframes
+        if self._codec is not None:
+            data = self._codec.encode(self, buf)
+        elif self.container == "wav" and not self._native_pcm_depth():
             data = self._encode_pcm(buf)
         elif self.container == "au":
             data = buf.astype(buf.dtype.newbyteorder(">")).tobytes()
@@ -160,7 +184,16 @@ class FileStream(Stream):
             self._parse_au()
         elif magic == b"fLaC":
             self._parse_flac()
+        elif magic == b"OggS":
+            self._parse_ogg()
         else:
+            from .containers import probe_container
+            self._fh.seek(0)
+            codec = probe_container(self._fh, self.path)
+            if codec is not None:
+                self.container = codec.name
+                codec.parse(self)
+                return
             # headerless: raw samples at configured rate/format
             self._fh.seek(0)
             self.container = "raw"
@@ -267,7 +300,35 @@ class FileStream(Stream):
         self._src_dtype = "flac"
         self._data_remaining = self._flac_buf.size * 4
 
+    def _parse_ogg(self) -> None:
+        """Decode the whole OGG Vorbis stream up front (sigio/oggvorbis.py)
+        and serve reads from memory, already in the stream's format."""
+        from .oggvorbis import read_ogg
+
+        self._fh.seek(0)
+        self.container = "ogg"
+        want_float = self.format is SampleFormat.FLOAT
+        samples, rate, nch = read_ogg(self.path, want_float)
+        self.rate = rate
+        self.channels = nch
+        self._mem_buf = samples
+        self._mem_pos = 0
+        self._src_dtype = "mem"
+        self._src_fmt_tag = _WAVE_FORMAT_IEEE_FLOAT if want_float \
+            else _WAVE_FORMAT_PCM
+        self._src_bits = 32 if want_float else 16
+        self._data_remaining = samples.nbytes
+
     def _read(self, nframes: int) -> np.ndarray:
+        if self._src_dtype == "mem":
+            n = min(nframes * self.channels,
+                    self._mem_buf.size - self._mem_pos)
+            vals = self._mem_buf[self._mem_pos: self._mem_pos + n]
+            self._mem_pos += n
+            self._data_remaining = (
+                (self._mem_buf.size - self._mem_pos)
+                * self._mem_buf.itemsize)
+            return vals
         if self._src_dtype == "flac":
             n = min(nframes * self.channels,
                     self._flac_buf.size - self._flac_pos)
@@ -335,6 +396,8 @@ class FileStream(Stream):
                 if self.format is SampleFormat.S16 and bps != 16:
                     pend = pend.astype(np.int32) << (bps - 16)
                 self._fh.write(encode(pend, self.rate, self.channels, bps))
+            elif self.container == "ogg":
+                self._ogg_writer.close()
             else:
                 data_nbytes = getattr(self, "_data_bytes", 0)
                 if self.container == "wav":
@@ -343,6 +406,9 @@ class FileStream(Stream):
                 elif self.container == "au":
                     self._fh.seek(0)
                     self._fh.write(self._au_header(data_nbytes))
+                elif self._codec is not None:
+                    self._fh.seek(0)
+                    self._fh.write(self._codec.header(self, data_nbytes))
         self._fh.close()
 
 
