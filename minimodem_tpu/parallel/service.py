@@ -1,0 +1,192 @@
+"""Multi-chip decode service: the FULL receiver sharded over a device mesh.
+
+parallel/sharding.py shards the scoring stage (dp x sp with a ppermute
+halo exchange); this module shards the COMPLETE decode — scoring,
+carrier state machine (XLA while_loop), event collection — over the
+"dp" axis of a mesh via shard_map, with psum'd fleet statistics.  Each
+chip runs the whole single-chip device receiver on its shard of the
+stream batch; streams are independent (the reference's RX loop,
+src/minimodem.c:1144-1463, has no cross-stream state), so the only
+collectives are the stats reductions.
+
+This is the deployment shape for a decode fleet: N chips x B/N streams
+each, one program launch, one result collection, aggregate service
+stats computed on-mesh instead of post-hoc on host.
+
+The reference has no distributed layer at all (SURVEY.md section 2:
+"Parallelism / distributed components — explicitly: NONE"); this is
+TPU-native headroom, not parity.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Optional
+
+import numpy as np
+
+from ..config import ModemConfig
+from .sharding import make_mesh
+
+
+class ShardedReceiver:
+    """dp-sharded batched decode over a jax Mesh.
+
+    run_events_batch mirrors ops.device_rx.DeviceReceiver's API and
+    event format; decode_batch renders events to bytes per stream.
+    Fleet stats (total frames decoded, total events, mean confidence
+    over carrier frames) are reduced on-mesh with psum.
+    """
+
+    def __init__(self, cfg: ModemConfig, mesh=None,
+                 precision: str = "auto", rx_one: bool = False):
+        import jax
+
+        from ..ops.device_rx import device_rx_key
+
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(
+            dp=len(jax.devices()), sp=1)
+        self.dp = self.mesh.shape["dp"]
+        assert self.mesh.shape.get("sp", 1) == 1, (
+            "ShardedReceiver shards whole streams (dp); use "
+            "parallel.sharding.sharded_score_fn for sp-sharded scoring")
+        self.precision = precision
+        self.rx_one = rx_one
+        self.key = device_rx_key(cfg, precision)
+        self._fns = {}
+
+    def _fn_for(self, t_total: int, in_dtype: str):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops.device_rx import _build_device_rx
+
+        cache_key = (t_total, in_dtype)
+        fn = self._fns.get(cache_key)
+        if fn is not None:
+            return fn
+        # wide event path: its [8, B, E] layout shards cleanly on axis 1
+        rx_fn, _, _ = _build_device_rx(
+            self.key, t_total, self.rx_one, in_dtype, True, False)
+
+        def local_fn(x, totals, thr, carry):
+            # thr: [2] = (conf_threshold, conf_search_limit), replicated
+            ev, n, _carry = rx_fn(x, totals, thr[0], thr[1], carry)
+            # fleet stats, reduced over the mesh (EV codes:
+            # ops/device_rx.py:49-52; NOCARRIER pay = [nframes,
+            # conf_total, ampl_total, ...] — device_rx.py:654-663)
+            from ..ops.device_rx import EV_NOCARRIER
+            erange = jnp.arange(ev.shape[2])[None, :]
+            live = erange < n[:, None]                      # [Bl, E]
+            et = ev[6].view(jnp.int32)                      # [Bl, E]
+            is_rep = live & (et == EV_NOCARRIER)
+            nframes = jnp.where(is_rep, ev[0].view(jnp.int32), 0)
+            conf_tot = jnp.where(is_rep, ev[1].view(jnp.float32), 0.0)
+            stats = jnp.stack([
+                jnp.sum(n).astype(jnp.float32),             # events
+                jnp.sum(nframes).astype(jnp.float32),       # data frames
+                jnp.sum(conf_tot),                          # conf sum
+            ])
+            stats = jax.lax.psum(stats, "dp")
+            return ev, n, stats
+
+        in_specs = (P(None, "dp"), P("dp"), P(), P("dp"))
+        # carry dict: every leaf is per-stream [B]
+        out_specs = (P(None, "dp"), P("dp"), P())
+        if hasattr(jax, "shard_map"):  # jax >= 0.8
+            sfn = jax.shard_map(
+                local_fn, mesh=self.mesh,
+                in_specs=(P("dp"),) + in_specs[1:],
+                out_specs=out_specs, check_vma=False)
+        else:
+            from jax.experimental.shard_map import shard_map
+
+            sfn = shard_map(
+                local_fn, mesh=self.mesh,
+                in_specs=(P("dp"),) + in_specs[1:],
+                out_specs=out_specs, check_rep=False)
+        fn = jax.jit(sfn)
+        self._fns[cache_key] = fn
+        return fn
+
+    def run_events_batch(self, samples: np.ndarray, totals,
+                         conf_threshold: float = 1.5,
+                         conf_search_limit: float = 2.3):
+        """samples: [B, L] (int16 or float32); totals: [B] valid lengths.
+        B is padded up to a multiple of the dp axis; padded rows decode
+        silence and are dropped.  Returns (events, stats) — events like
+        DeviceReceiver's (per-stream (ev_type, ev_pay) tuples), stats a
+        dict of fleet aggregates."""
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        import jax
+
+        from ..ops.device_rx import (
+            _collect_results,
+            _round_up_pow2,
+            geometry_from_config,
+            zero_carry,
+        )
+
+        b, L = samples.shape
+        totals = np.asarray(totals, np.int32)
+        b_pad = -(-b // self.dp) * self.dp
+        t_total = _round_up_pow2(
+            int(totals.max(initial=0)) + self.cfg.nsamples_overscan + 1)
+        geo = geometry_from_config(self.cfg, self.precision)
+        x = np.zeros((b_pad, t_total + geo.halo), samples.dtype)
+        x[:b, :min(L, t_total + geo.halo)] = \
+            samples[:, :t_total + geo.halo]
+        tot = np.zeros((b_pad,), np.int32)
+        tot[:b] = totals
+        in_dtype = "int16" if samples.dtype == np.int16 else "float32"
+        fn = self._fn_for(t_total, in_dtype)
+
+        shard = NamedSharding(self.mesh, P("dp"))
+        xs = jax.device_put(x, shard)
+        ev, n, stats = fn(
+            xs, jax.device_put(tot, shard),
+            np.asarray([conf_threshold, conf_search_limit], np.float32),
+            jax.device_put(zero_carry(b_pad), shard))
+        events = _collect_results((ev, n), b_pad, False)[:b]
+        s = np.asarray(stats)
+        nframes = float(s[1])
+        return events, {
+            "devices": self.dp,
+            "events_total": int(s[0]),
+            "frames_total": int(nframes),
+            "mean_confidence": float(s[2] / nframes) if nframes else 0.0,
+        }
+
+    def decode_batch(self, streams, conf_threshold: float = 1.5,
+                     conf_search_limit: float = 2.3):
+        """Decode a list of 1-D sample arrays -> (list of bytes, stats)."""
+        from ..codecs import get_codec
+        from ..config import RxOptions
+        from ..rx.engine import Receiver
+
+        b = len(streams)
+        L = max((len(s) for s in streams), default=0)
+        dtype = streams[0].dtype if b else np.float32
+        x = np.zeros((b, L), dtype)
+        for i, s in enumerate(streams):
+            x[i, :len(s)] = s
+        events, stats = self.run_events_batch(
+            x, [len(s) for s in streams], conf_threshold,
+            conf_search_limit)
+        decoder = "ascii8" if self.cfg.n_data_bits == 8 else "binary"
+        outs = []
+        for ev in events:
+            sink = io.BytesIO()
+            rxer = Receiver(
+                self.cfg,
+                RxOptions(confidence_threshold=conf_threshold,
+                          confidence_search_limit=conf_search_limit,
+                          quiet=True),
+                get_codec(decoder), sink.write, lambda _line: None)
+            rxer.render_events(*ev)
+            outs.append(sink.getvalue())
+        return outs, stats
