@@ -8,10 +8,10 @@ channel checks, the rxnoise fault-injection knob, rate getters — keeps the
 reference's semantics.
 
 Backends:
-- ``file``      : 17 containers (WAV/FLAC/OGG/AU/RAW/AIFF/CAF/W64/RF64/
-                  WAVEX/NIST/IRCAM/PVF/HTK/AVR/VOC/SVX), deterministic
-                  output (tests depend on byte-identical TX,
-                  reference: tests/16-verify-tx-consistent)
+- ``file``      : 19 containers (WAV/FLAC/OGG/AU/RAW/AIFF/CAF/W64/RF64/
+                  WAVEX/NIST/IRCAM/PVF/HTK/AVR/VOC/SVX/MAT4/MAT5),
+                  deterministic output (tests depend on byte-identical
+                  TX, reference: tests/16-verify-tx-consistent)
 - ``benchmark`` : null device that reports samples/sec
                   (reference: src/simpleaudio-benchmark.c)
 - ``pulseaudio`` / ``alsa`` / ``sndio`` : live system audio via

@@ -747,8 +747,204 @@ class Svx(_Codec):
         _set_src(stream, rate, 1, dt, bits, _PCM, data_nbytes)
 
 
+# ------------------------------------------------------------------- MAT4
+class Mat4(_Codec):
+    """MATLAB level-4 MAT-file: two little-endian matrices, the layout
+    libsndfile's SF_FORMAT_MAT4 uses — 'samplerate' (1x1 double) then
+    'wavedata' (channels x frames; column-major = interleaved).  MOPT
+    type code: P digit 0=double 1=single 3=int16."""
+
+    name = "mat4"
+    exts = ("mat4",)
+
+    def _p_digit(self, stream) -> int:
+        return 1 if stream.format is SampleFormat.FLOAT else 3
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        is_float = stream.format is SampleFormat.FLOAT
+        itemsize = 4 if is_float else 2
+        frames = data_nbytes // (itemsize * stream.channels) \
+            if stream.channels else 0
+        out = struct.pack("<5i", 0, 1, 1, 0, 11) + b"samplerate\x00"
+        out += struct.pack("<d", float(stream.rate))
+        out += struct.pack("<5i", self._p_digit(stream) * 10,
+                           stream.channels, frames, 0, 9) + b"wavedata\x00"
+        return out
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        dt = "<f4" if stream.format is SampleFormat.FLOAT else "<i2"
+        return _wire(stream, buf, dt)
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        if ext != "mat4" or len(head) < 20:
+            return False
+        t, mrows, ncols, imagf, namlen = struct.unpack("<5i", head[:20])
+        return (0 <= t < 5000 and t % 10 == 0 and imagf in (0, 1)
+                and 0 < namlen < 64 and mrows >= 0 and ncols >= 0)
+
+    def parse(self, stream) -> None:
+        fh = stream._fh
+        rate = 0
+        while True:
+            hdr = fh.read(20)
+            if len(hdr) < 20:
+                raise RuntimeError(f"{stream.path}: no wavedata matrix")
+            t, mrows, ncols, _imagf, namlen = struct.unpack("<5i", hdr)
+            name = fh.read(namlen).rstrip(b"\x00").decode("ascii",
+                                                          "replace")
+            p = (t // 10) % 10
+            itemsize = {0: 8, 1: 4, 2: 4, 3: 2, 4: 2, 5: 1}[p]
+            nbytes = mrows * ncols * itemsize
+            if name == "samplerate":
+                if p != 0 or mrows * ncols != 1:
+                    raise RuntimeError(
+                        f"{stream.path}: malformed samplerate matrix")
+                (rate,) = struct.unpack("<d", fh.read(8))
+            elif name == "wavedata":
+                dt = {0: "<f8", 1: "<f4", 2: "<i4", 3: "<i2"}.get(p)
+                if dt is None:
+                    raise RuntimeError(
+                        f"{stream.path}: unsupported MAT4 type {t}")
+                dtype = np.dtype(dt)
+                tag = _FLOAT if dtype.kind == "f" else _PCM
+                _set_src(stream, int(round(rate)), mrows, dtype,
+                         dtype.itemsize * 8 if tag == _PCM else 32,
+                         tag, nbytes)
+                return
+            else:
+                fh.seek(nbytes, 1)
+
+
+# ------------------------------------------------------------------- MAT5
+_MI_INT8 = 1
+_MI_INT16 = 3
+_MI_INT32 = 5
+_MI_UINT32 = 6
+_MI_SINGLE = 7
+_MI_DOUBLE = 9
+_MI_MATRIX = 14
+_MX_DOUBLE = 6
+_MX_SINGLE = 7
+_MX_INT16 = 10
+
+
+class Mat5(_Codec):
+    """MATLAB level-5 MAT-file (MathWorks MAT-file format spec): 128-byte
+    text header then miMATRIX elements 'samplerate' (1x1 double) and
+    'wavedata' (channels x frames int16/single, column-major =
+    interleaved)."""
+
+    name = "mat5"
+    exts = ("mat5",)
+
+    @staticmethod
+    def _element(mi_type: int, payload: bytes) -> bytes:
+        pad = (-len(payload)) % 8
+        return struct.pack("<II", mi_type, len(payload)) + payload \
+            + b"\x00" * pad
+
+    def _matrix_header(self, name: bytes, mx_class: int, rows: int,
+                       cols: int) -> bytes:
+        sub = self._element(_MI_UINT32, struct.pack("<II", mx_class, 0))
+        sub += self._element(_MI_INT32, struct.pack("<ii", rows, cols))
+        sub += self._element(_MI_INT8, name)
+        return sub
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        is_float = stream.format is SampleFormat.FLOAT
+        itemsize = 4 if is_float else 2
+        frames = data_nbytes // (itemsize * stream.channels) \
+            if stream.channels else 0
+        text = b"MATLAB 5.0 MAT-file, written by minimodem_tpu"
+        head = text.ljust(124, b" ") + struct.pack("<H", 0x0100) + b"IM"
+
+        sr = self._matrix_header(b"samplerate", _MX_DOUBLE, 1, 1)
+        sr += self._element(_MI_DOUBLE, struct.pack("<d",
+                                                    float(stream.rate)))
+        out = head + self._element(_MI_MATRIX, sr)
+
+        wd = self._matrix_header(b"wavedata",
+                                 _MX_SINGLE if is_float else _MX_INT16,
+                                 stream.channels, frames)
+        mi = _MI_SINGLE if is_float else _MI_INT16
+        # the data subelement tag is written here; samples follow raw
+        # (close() rewrites this header with the real frame count, and
+        # the trailing pad bytes of an odd int16 count are never written
+        # — readers bound by nbytes, as we do, are unaffected)
+        wd_tag = struct.pack("<II", mi, data_nbytes)
+        matrix_payload_len = len(wd) + 8 + data_nbytes
+        out += struct.pack("<II", _MI_MATRIX, matrix_payload_len)
+        out += wd + wd_tag
+        return out
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        dt = "<f4" if stream.format is SampleFormat.FLOAT else "<i2"
+        return _wire(stream, buf, dt)
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        return head[:10] == b"MATLAB 5.0"
+
+    @staticmethod
+    def _subelement(fh):
+        """-> (mi_type, size, payload_or_None).  payload is returned for
+        small (tag-embedded) elements; for normal elements the caller
+        reads `size` bytes (+ pad to 8) itself."""
+        st, ssize = struct.unpack("<II", fh.read(8))
+        if st & 0xFFFF0000:  # small data element: size in the high half
+            return st & 0xFFFF, st >> 16, fh.read(4)[: st >> 16]
+        return st, ssize, None
+
+    def parse(self, stream) -> None:
+        fh = stream._fh
+        fh.seek(126)
+        if fh.read(2) != b"IM":
+            raise RuntimeError(
+                f"{stream.path}: big-endian MAT5 is not supported")
+        rate = 0
+        while True:
+            hdr = fh.read(8)
+            if len(hdr) < 8:
+                raise RuntimeError(f"{stream.path}: no wavedata matrix")
+            mtype, msize = struct.unpack("<II", hdr)
+            end = fh.tell() + msize + ((-msize) % 8)
+            if mtype != _MI_MATRIX:
+                fh.seek(end)
+                continue
+            # subelements in spec order: flags, dims, name, data
+            st, ssize, body = self._subelement(fh)          # array flags
+            if body is None:
+                fh.seek(ssize + ((-ssize) % 8), 1)
+            st, ssize, body = self._subelement(fh)          # dimensions
+            raw = body if body is not None \
+                else fh.read(ssize + ((-ssize) % 8))[:ssize]
+            dims = struct.unpack("<ii", raw[:8])
+            st, ssize, body = self._subelement(fh)          # name
+            raw = body if body is not None \
+                else fh.read(ssize + ((-ssize) % 8))[:ssize]
+            name = raw.rstrip(b"\x00").decode("ascii", "replace")
+            st, ssize, body = self._subelement(fh)          # data
+            if name == "samplerate" and st == _MI_DOUBLE:
+                raw = body if body is not None else fh.read(8)
+                (rate,) = struct.unpack("<d", raw[:8])
+                fh.seek(end)
+                continue
+            if name == "wavedata":
+                dt = {_MI_INT16: "<i2", _MI_SINGLE: "<f4",
+                      _MI_DOUBLE: "<f8"}.get(st)
+                if dt is None or body is not None:
+                    raise RuntimeError(
+                        f"{stream.path}: unsupported MAT5 wavedata "
+                        f"type {st}")
+                dtype = np.dtype(dt)
+                tag = _FLOAT if dtype.kind == "f" else _PCM
+                _set_src(stream, int(round(rate)), dims[0], dtype,
+                         16 if st == _MI_INT16 else 32, tag, ssize)
+                return  # fh sits at the first sample
+            fh.seek(end)
+
+
 _CODECS = [Aiff(), Caf(), W64(), Rf64(), Wavex(), Nist(), Ircam(), Pvf(),
-           Htk(), Avr(), Voc(), Svx()]
+           Htk(), Avr(), Voc(), Svx(), Mat4(), Mat5()]
 _BY_NAME = {}
 for _c in _CODECS:
     _BY_NAME[_c.name] = _c

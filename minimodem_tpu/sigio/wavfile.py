@@ -18,9 +18,9 @@ src/simpleaudio-sndfile.c:111-157):
 - .au   : Sun AU, PCM16-BE or float32-BE
 - .raw  : headerless samples at the configured rate/format
 - .aiff/.aif .caf .w64 .rf64 .wavex .nist .ircam .pvf .htk .avr .voc
-  .svx : PCM-family header codecs (sigio/containers.py)
-The remaining libsndfile majors (paf/mat4/mat5/xi/sds/sd2/wve/mpc2k)
-raise a clear error.
+  .svx .mat4 .mat5 : PCM-family header codecs (sigio/containers.py)
+The remaining libsndfile majors (paf/xi/sds/sd2/wve/mpc2k) raise a
+clear error.
 """
 
 from __future__ import annotations

@@ -16,7 +16,7 @@ from minimodem_tpu.sigio.oggvorbis import load_libvorbis
 from minimodem_tpu.sigio.wavfile import FileStream, read_all
 
 PCM_EXTS = ["aiff", "aif", "caf", "w64", "rf64", "wavex", "nist",
-            "ircam", "pvf", "htk", "avr", "voc", "svx"]
+            "ircam", "pvf", "htk", "avr", "voc", "svx", "mat4", "mat5"]
 
 _rng = np.random.default_rng(7)
 F32 = np.clip(_rng.standard_normal(4000) * 0.3, -0.999, 0.999) \
@@ -80,8 +80,7 @@ def test_modem_loopback_aiff(tmp_path):
 
 
 def test_unsupported_majors(tmp_path):
-    for ext in ("paf", "mat4", "mat5", "xi", "sds", "sd2", "wve",
-                "mpc2k"):
+    for ext in ("paf", "xi", "sds", "sd2", "wve", "mpc2k"):
         with pytest.raises(RuntimeError, match="external codec"):
             FileStream(str(tmp_path / f"x.{ext}"), Direction.PLAYBACK,
                        SampleFormat.S16, 48000, 1)
