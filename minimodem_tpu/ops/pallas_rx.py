@@ -25,6 +25,23 @@ Compact mode only (n_data_bits <= 8), one-shot (no streaming carry) —
 eligible configs are routed here by DeviceReceiver/DeviceLoopback; the
 XLA while_loop remains the path for f64 geometries, wide data words,
 streaming carry, and very low baud rates (huge scan windows).
+
+Negative result (round 2), recorded so it isn't retried: a LOCKSTEP
+variant — C streams advancing through one shared while_loop, per-stream
+scalar state, the sequential body unrolled C times per iteration — was
+built, parity-verified, and benchmarked at 657 ms vs 652 ms for the
+B=64 loopback: exactly neutral.  The per-frame cost is the body's own
+instruction stream (cross-lane reduction latency + branch chains), which
+scales with C regardless of loop sharing; there is no amortizable
+fixed-per-iteration overhead left.  A lane-VECTORIZED [C, ...] variant
+is blocked by mosaic ("Not implemented: Lane broadcast" on (C, 1)
+selects/broadcasts).  The remaining levers are reducing per-frame work
+(speculative multi-frame decode) and the scoring stage, not loop
+restructuring.  Mosaic facts learned: bool vector elements can't be
+squeezed to scalars (extract via int32 copies); dynamic-lane VMEM
+stores must be 128-aligned (RMW a 128-lane block to append); minor-dim
+<128 scratch ((N, 8)/(N, 1)) tiles pad to 128 lanes — lay buffers out
+lane-major before scaling them by C.
 """
 
 from __future__ import annotations
