@@ -161,6 +161,14 @@ def make_score_packer(cfg_key, t_total: int, input_dtype: str):
     from .demod import _pallas_eligible
     use_pallas = _pallas_eligible(geo)
 
+    # the fused Pallas kernel does stages 1+2 tile-resident in VMEM
+    # (ops/pallas_score.py) — the XLA pipeline below materializes every
+    # intermediate plane in HBM and is kept for f64 / CPU / long filters
+    fused = None
+    from .pallas_score import fused_packer_eligible, make_fused_packer
+    if fused_packer_eligible(geo, t_total):
+        fused = make_fused_packer(geo, basis_np, t_total)
+
     # score in T-tiles via lax.map: the per-bit [n_bits, T] float planes
     # then only ever exist at tile size, bounding scoring memory to
     # O(n_bits * T_TILE) per stream instead of O(n_bits * T)
@@ -172,6 +180,8 @@ def make_score_packer(cfg_key, t_total: int, input_dtype: str):
         """stages 1+2 -> packed per-offset channels [8, t_total] uint32."""
         if input_dtype == "int16":
             x = x.astype(jnp.float32) / jnp.float32(32768.0)
+        if fused is not None:
+            return fused(x)
         xd = x.astype(dtype)
         if N_TILES == 1:
             return _score_tile(xd, t_total, t_total + geo.max_begin)
