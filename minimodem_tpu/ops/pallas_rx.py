@@ -37,7 +37,24 @@ fixed-per-iteration overhead left.  A lane-VECTORIZED [C, ...] variant
 is blocked by mosaic ("Not implemented: Lane broadcast" on (C, 1)
 selects/broadcasts).  The remaining levers are reducing per-frame work
 (speculative multi-frame decode) and the scoring stage, not loop
-restructuring.  Mosaic facts learned: bool vector elements can't be
+restructuring.
+
+Speculative multi-frame decode (round 2, SPEC_DEPTH): each iteration
+analyzes up to S frames — frame 0 at the architected position plus S-1
+at positions predicted from the previous frame's fstart (when locked,
+the advance is fstart + frame_nsamples - overscan, minimodem.c:1374, so
+stable timing makes the chain perfectly predictable).  The speculative
+find_frames are independent of frame 0's outcome, so the VPU overlaps
+them with frame 0's reduction latency (a duplicated find measured ~20
+cycles marginal vs ~700/frame); each subsequent frame commits only when
+the previous frame's ACTUAL final fstart equals the prediction (plus
+got, window-residency, and event-budget guards), so the decision
+sequence replays the non-speculative engine bit-for-bit — mispredicts
+waste only the cheap finds.  The whole speculative tail sits under one
+lax.cond on the first commit flag, so the carrier-search path pays
+nothing; committed frames use a `locked` post specialization (carrier
+== 1 and noconf == 0 are guaranteed by the chain, so drops,
+acquisitions, their event stores, and resets are statically elided).  Mosaic facts learned: bool vector elements can't be
 squeezed to scalars (extract via int32 copies); dynamic-lane VMEM
 stores must be 128-aligned (RMW a 128-lane block to append); minor-dim
 <128 scratch ((N, 8)/(N, 1)) tiles pad to 128 lanes — lay buffers out
@@ -69,6 +86,29 @@ W_EXTRA = 8192
 # largest per-frame fetch block we accept before falling back to the XLA
 # receiver (very low baud rates scan tens of thousands of offsets)
 W_FETCH_MAX = 16384
+# speculative decode depth: frames processed per while_loop iteration.
+# Frame 0 scans at the architected position; frames 1..S-1 scan at
+# positions predicted from the previous frame's fstart (independent
+# vector work — measured ~20 cycles marginal per extra find on v5e) and
+# commit only when the prediction verifies exactly, so decisions replay
+# the sequential engine bit-for-bit.  Mirrors the frame cadence of
+# /root/reference/src/minimodem.c:1248-1463 (advance = frame_start +
+# frame_nsamples - overscan), which makes the next position perfectly
+# predictable whenever timing is locked.  Measured on v5e (B=64, 60 s
+# Bell202 loopback): depth 1 = 648.6 ms, 4 = 543.3, 8 = 519.6 (best),
+# 16 = 576.9 (unroll bloat wins out) — the serial per-frame scalar
+# chain, not the finds, is what remains.
+SPEC_DEPTH = 8
+
+
+def _spec_depth() -> int:
+    import os
+
+    try:
+        s = int(os.environ.get("MINIMODEM_TPU_SPEC", "") or SPEC_DEPTH)
+    except ValueError:
+        s = SPEC_DEPTH
+    return max(1, min(s, 16))
 
 
 def _static_geom(cfg_key):
@@ -118,6 +158,7 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
     nstop_shift = 0 if np.uint32(nstopbits_bits).view(np.float32) == 0 else 1
     assert n_data_bits <= 8
 
+    spec_depth = _spec_depth()
     geom = _static_geom(cfg_key)
     w_scan = max(geom[0]["try_max"], geom[1]["try_max"])
     # fetch block: dynamic pos is 128-aligned down, so the window spans at
@@ -262,44 +303,38 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
                                              jnp.uint32))
             ev_vmem[pl.ds(i, 1), :] = rec
 
-        # ---------------- state machine ----------------
-        def cond(st):
+        # ---------------- per-frame post-processing ----------------
+        def post(st12, conf, ampl, blo, fstart, blk, off, enable,
+                 locked=False):
+            """The state-machine tail for one analyzed frame: squelch,
+            conditional fine rescan, event/byte emission, tracking
+            updates (minimodem.c:1248-1463 decision replay).  `enable`
+            is None for the architected frame (always taken) or a traced
+            bool for speculated frames; stores are gated on it and the
+            caller selects between the returned candidate state and the
+            old state.  Returns (new_st12, got, fstart_final).
+
+            locked=True specializes for committed speculative frames,
+            where carrier == 1 and noconf == 0 on entry are guaranteed
+            by the commit chain: carrier drops (needs noconf > 20),
+            acquisitions (needs carrier == 0), their event stores, and
+            the post-drop resets are statically impossible and elided."""
             (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
-             nframes, carrier_ns, n_ev, n_by, stop_f, win_base) = st
-            return jnp.logical_and(
-                stop_f == 0,
-                jnp.logical_and(pos + expect_nsamples <= total,
-                                n_ev < max_events - 2))
-
-        def body(st):
-            (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
-             nframes, carrier_ns, n_ev, n_by, stop_f, win_base) = st
-            carrier = carrier_f != 0
-            carrier_i = carrier_f
-            expect_i = 1 - carrier_i
-            try_step = jnp.where(carrier_i == 1,
-                                 geom[1]["coarse_step"],
-                                 geom[0]["coarse_step"])
-            try_max = jnp.where(carrier_i == 1,
-                                geom[1]["try_max"], geom[0]["try_max"])
-
-            # resident-window refill: only when the fetch block would run
-            # off its end (win_base starts at a sentinel forcing a fetch)
-            need_fill = pos - win_base + w_fetch > w_res
-
-            @pl.when(need_fill)
-            def _():
-                refill(pos)
-
-            win_base = jnp.where(need_fill, (pos // W_LANES) * W_LANES,
-                                 win_base)
-            off_res = pos - win_base              # [0, w_res - w_fetch]
-            local = pl.multiple_of((off_res // W_LANES) * W_LANES, W_LANES)
-            blk = win_vmem[:, pl.ds(local, w_fetch)]       # [8, W_FETCH]
-            off = off_res - local                          # [0, 128)
-            conf, ampl, blo, fstart = find_frame(
-                blk, off, carrier_i, expect_i, cand_c_ref, valid_c_ref,
-                conf_search_limit)
+             nframes, carrier_ns, n_ev, n_by, stop_f) = st12
+            gate = ((lambda x: x) if enable is None
+                    else (lambda x: jnp.logical_and(enable, x)))
+            if locked:
+                carrier = True
+                try_step = jnp.int32(geom[1]["coarse_step"])
+                try_max = jnp.int32(geom[1]["try_max"])
+            else:
+                carrier = carrier_f != 0
+                carrier_i = carrier_f
+                try_step = jnp.where(carrier_i == 1,
+                                     geom[1]["coarse_step"],
+                                     geom[0]["coarse_step"])
+                try_max = jnp.where(carrier_i == 1,
+                                    geom[1]["try_max"], geom[0]["try_max"])
 
             refine = conf < peak * 0.75
             peak = jnp.where(refine, jnp.float32(0.0), peak)
@@ -307,24 +342,31 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
 
             no_conf = conf <= conf_threshold
             got = jnp.logical_not(no_conf)
-            noconf = jnp.where(no_conf, noconf + 1, jnp.int32(0))
-            drop = jnp.logical_and(no_conf,
-                                   noconf > FSK_MAX_NOCONFIDENCE_BITS)
-            drop_report = jnp.logical_and(drop, carrier)
-
-            acquired = jnp.logical_and(got, jnp.logical_not(carrier))
-            do_refine = jnp.logical_or(refine, acquired)
+            if locked:
+                # entering noconf == 0 by the commit chain, so a drop
+                # (noconf > 20) cannot fire; carrier == 1, so neither
+                # can an acquisition
+                noconf = jnp.where(no_conf, jnp.int32(1), jnp.int32(0))
+                do_refine = refine
+            else:
+                noconf = jnp.where(no_conf, noconf + 1, jnp.int32(0))
+                drop = jnp.logical_and(no_conf,
+                                       noconf > FSK_MAX_NOCONFIDENCE_BITS)
+                drop_report = jnp.logical_and(drop, carrier)
+                acquired = jnp.logical_and(got, jnp.logical_not(carrier))
+                do_refine = jnp.logical_or(refine, acquired)
             fstart_coarse = fstart
-            do_fine = jnp.logical_and(
+            do_fine = gate(jnp.logical_and(
                 got, jnp.logical_and(
                     do_refine,
-                    jnp.logical_and(conf < inf, try_step > 1)))
+                    jnp.logical_and(conf < inf, try_step > 1))))
+            fine_carrier = jnp.int32(1) if locked else carrier_i
             # the fine rescan only fires on acquisition or confidence
             # degradation — skip its vector work entirely otherwise
             c2, a2, blo2, fs2 = jax.lax.cond(
                 do_fine,
-                lambda b_: find_frame(b_, off, carrier_i, 0, cand_f_ref,
-                                      valid_f_ref, inf),
+                lambda b_: find_frame(b_, off, fine_carrier, 0,
+                                      cand_f_ref, valid_f_ref, inf),
                 lambda b_: (jnp.float32(0.0), jnp.float32(0.0),
                             jnp.int32(0), jnp.int32(0)),
                 blk)
@@ -333,10 +375,16 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
             blo = jnp.where(take2, blo2, blo)
             fstart = jnp.where(take2, fs2, fstart)
 
-            carrier_ns = carrier_ns + jnp.where(
-                got,
-                jnp.int32(frame_nsamples)
-                + jnp.where(carrier, fstart_coarse - overscan, 0), 0)
+            if locked:
+                carrier_ns = carrier_ns + jnp.where(
+                    got,
+                    jnp.int32(frame_nsamples) + fstart_coarse - overscan,
+                    0)
+            else:
+                carrier_ns = carrier_ns + jnp.where(
+                    got,
+                    jnp.int32(frame_nsamples)
+                    + jnp.where(carrier, fstart_coarse - overscan, 0), 0)
             track = jnp.where(got, (track + ampl) / 2.0, track)
             peak = jnp.where(jnp.logical_and(got, peak < conf), conf, peak)
             conf_tot = jnp.where(got, conf_tot + conf, conf_tot)
@@ -345,29 +393,31 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
             advance = jnp.where(
                 got, fstart + jnp.int32(frame_nsamples) - overscan, try_max)
 
-            # control events
+            # control events (impossible on locked speculative frames)
             zi32 = jnp.int32(0)
             zf32 = jnp.float32(0.0)
 
-            @pl.when(drop_report)
-            def _():
-                reci = jnp.stack([
-                    nframes, zi32, zi32, carrier_ns, n_by, zi32,
-                    jnp.int32(EV_NOCARRIER), zi32])
-                recf = jnp.stack([
-                    zf32, conf_tot, ampl_tot, zf32, zf32, zf32, zf32, zf32])
-                store_event(n_ev, reci, recf)
+            if not locked:
+                @pl.when(gate(drop_report))
+                def _():
+                    reci = jnp.stack([
+                        nframes, zi32, zi32, carrier_ns, n_by, zi32,
+                        jnp.int32(EV_NOCARRIER), zi32])
+                    recf = jnp.stack([
+                        zf32, conf_tot, ampl_tot, zf32, zf32, zf32, zf32,
+                        zf32])
+                    store_event(n_ev, reci, recf)
 
-            @pl.when(acquired)
-            def _():
-                reci = jnp.stack([
-                    n_by, zi32, zi32, zi32, zi32, zi32,
-                    jnp.int32(EV_CARRIER), zi32])
-                recf = jnp.stack([zf32] * 8)
-                store_event(n_ev, reci, recf)
+                @pl.when(gate(acquired))
+                def _():
+                    reci = jnp.stack([
+                        n_by, zi32, zi32, zi32, zi32, zi32,
+                        jnp.int32(EV_CARRIER), zi32])
+                    recf = jnp.stack([zf32] * 8)
+                    store_event(n_ev, reci, recf)
 
-            n_ev = n_ev + jnp.where(
-                jnp.logical_or(drop_report, acquired), 1, 0)
+                n_ev = n_ev + jnp.where(
+                    jnp.logical_or(drop_report, acquired), 1, 0)
 
             # data byte (blo carries the frame bits, bit-preserving i32)
             word = jax.lax.shift_right_logical(
@@ -384,27 +434,145 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
                 emit_byte = jnp.logical_and(
                     got, word != jnp.int32(sync_byte))
 
-            @pl.when(emit_byte)
+            @pl.when(gate(emit_byte))
             def _():
                 bytes_vmem[pl.ds(n_by, 1), :] = word[None, None]
 
             n_by = n_by + jnp.where(emit_byte, 1, 0)
 
             pos = pos + advance
-            new_carrier = jnp.where(got, jnp.int32(1),
-                                    jnp.where(drop, jnp.int32(0),
-                                              carrier_f))
-            reset = drop_report
-            track = jnp.where(reset, jnp.float32(0.0), track)
-            conf_tot = jnp.where(reset, jnp.float32(0.0), conf_tot)
-            ampl_tot = jnp.where(reset, jnp.float32(0.0), ampl_tot)
-            nframes = jnp.where(reset, jnp.int32(0), nframes)
-            carrier_ns = jnp.where(reset, jnp.int32(0), carrier_ns)
-            if rx_one:
-                stop_f = jnp.where(drop_report, jnp.int32(1), stop_f)
-            return (pos, new_carrier, noconf, track, peak, conf_tot,
+            if locked:
+                # got -> stays 1; no_conf without a drop -> stays 1
+                new_carrier = carrier_f
+            else:
+                new_carrier = jnp.where(got, jnp.int32(1),
+                                        jnp.where(drop, jnp.int32(0),
+                                                  carrier_f))
+                reset = drop_report
+                track = jnp.where(reset, jnp.float32(0.0), track)
+                conf_tot = jnp.where(reset, jnp.float32(0.0), conf_tot)
+                ampl_tot = jnp.where(reset, jnp.float32(0.0), ampl_tot)
+                nframes = jnp.where(reset, jnp.int32(0), nframes)
+                carrier_ns = jnp.where(reset, jnp.int32(0), carrier_ns)
+                if rx_one:
+                    stop_f = jnp.where(drop_report, jnp.int32(1), stop_f)
+            return ((pos, new_carrier, noconf, track, peak, conf_tot,
+                     ampl_tot, nframes, carrier_ns, n_ev, n_by, stop_f),
+                    got, fstart)
+
+        # ---------------- state machine ----------------
+        def cond(st):
+            (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
+             nframes, carrier_ns, n_ev, n_by, stop_f, win_base,
+             pred_fs) = st
+            return jnp.logical_and(
+                stop_f == 0,
+                jnp.logical_and(pos + expect_nsamples <= total,
+                                n_ev < max_events - 2))
+
+        def body(st):
+            (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
+             nframes, carrier_ns, n_ev, n_by, stop_f, win_base,
+             pred_fs) = st
+            carrier_i = carrier_f
+            expect_i = 1 - carrier_i
+
+            # resident-window refill: only when the fetch block would run
+            # off its end (win_base starts at a sentinel forcing a fetch)
+            need_fill = pos - win_base + w_fetch > w_res
+
+            @pl.when(need_fill)
+            def _():
+                refill(pos)
+
+            win_base = jnp.where(need_fill, (pos // W_LANES) * W_LANES,
+                                 win_base)
+
+            # frame 0: the architected position
+            off_res = pos - win_base              # [0, w_res - w_fetch]
+            local = pl.multiple_of((off_res // W_LANES) * W_LANES, W_LANES)
+            blk0 = win_vmem[:, pl.ds(local, w_fetch)]      # [8, W_FETCH]
+            off0 = off_res - local                         # [0, 128)
+            finds = [find_frame(blk0, off0, carrier_i, expect_i,
+                                cand_c_ref, valid_c_ref,
+                                conf_search_limit)]
+            blks, offs, spec_ok = [blk0], [off0], [None]
+
+            # frames 1..S-1: speculative finds at positions predicted
+            # from pred_fs (locked context: carrier=1, expect=space).
+            # These are independent of frame 0's outcome, so their
+            # vector work overlaps frame 0's reduction latency; they
+            # commit below only when every prior frame's actual fstart
+            # equals the prediction, keeping decisions replay-exact.
+            adv_pred = pred_fs + jnp.int32(frame_nsamples - overscan)
+            for k in range(1, spec_depth):
+                d = off_res + k * adv_pred
+                ok = jnp.logical_and(adv_pred > 0, d + w_fetch <= w_res)
+                dc = jnp.clip(d, 0, w_res - w_fetch)
+                lk = pl.multiple_of((dc // W_LANES) * W_LANES, W_LANES)
+                blk_k = win_vmem[:, pl.ds(lk, w_fetch)]
+                off_k = dc - lk
+                finds.append(find_frame(blk_k, off_k, jnp.int32(1), 0,
+                                        cand_c_ref, valid_c_ref,
+                                        conf_search_limit))
+                blks.append(blk_k)
+                offs.append(off_k)
+                spec_ok.append(ok)
+
+            # frame 0 commits unconditionally (the architected frame)
+            st12 = (pos, carrier_f, noconf, track, peak, conf_tot,
+                    ampl_tot, nframes, carrier_ns, n_ev, n_by, stop_f)
+            conf0, ampl0, blo0, fs0 = finds[0]
+            st12, got0, fsf0 = post(st12, conf0, ampl0, blo0, fs0,
+                                    blk0, off0, None)
+            pred_new = jnp.where(got0, fsf0, pred_fs)
+
+            def commit_guard(en_prev, got_k, fsf_k, st_k, k_next):
+                # commit frame k_next iff the prediction verified and
+                # its window/loop guards hold at the ACTUAL state
+                ok_k = got_k if en_prev is None else jnp.logical_and(
+                    en_prev, got_k)
+                return jnp.logical_and(
+                    jnp.logical_and(ok_k, fsf_k == pred_fs),
+                    jnp.logical_and(
+                        spec_ok[k_next],
+                        jnp.logical_and(
+                            st_k[0] + expect_nsamples <= total,
+                            st_k[9] < max_events - 2)))
+
+            if spec_depth > 1:
+                en1 = commit_guard(None, got0, fsf0, st12, 1)
+
+                # the whole speculative tail sits under one cond: on the
+                # carrier-search / no-confidence path (en1 false) none of
+                # its serial scalar work executes, so scanning costs the
+                # same as the non-speculative kernel
+                def spec_tail(args):
+                    st12, pred_new = args[0], args[1]
+                    en = en1
+                    for k in range(1, spec_depth):
+                        conf_k, ampl_k, blo_k, fs_k = finds[k]
+                        new12, got_k, fsf_k = post(
+                            st12, conf_k, ampl_k, blo_k, fs_k,
+                            blks[k], offs[k], en, locked=True)
+                        st12 = tuple(jnp.where(en, n, o)
+                                     for n, o in zip(new12, st12))
+                        pred_new = jnp.where(jnp.logical_and(en, got_k),
+                                             fsf_k, pred_new)
+                        if k + 1 < spec_depth:
+                            en = commit_guard(en, got_k, fsf_k, st12,
+                                              k + 1)
+                    return st12, pred_new
+
+                st12, pred_new = jax.lax.cond(
+                    en1, spec_tail, lambda args: (args[0], args[1]),
+                    (st12, pred_new))
+
+            (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
+             nframes, carrier_ns, n_ev, n_by, stop_f) = st12
+            return (pos, carrier_f, noconf, track, peak, conf_tot,
                     ampl_tot, nframes, carrier_ns, n_ev, n_by, stop_f,
-                    win_base)
+                    win_base, pred_new)
 
         zf = jnp.float32(0.0)
         zi = jnp.int32(0)
@@ -412,9 +580,9 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
         base0 = jnp.int32(-(1 << 30))
         st = jax.lax.while_loop(
             cond, body,
-            (zi, zi, zi, zf, zf, zf, zf, zi, zi, zi, zi, zi, base0))
+            (zi, zi, zi, zf, zf, zf, zf, zi, zi, zi, zi, zi, base0, zi))
         (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
-         nframes, carrier_ns, n_ev, n_by, stop_f, win_base) = st
+         nframes, carrier_ns, n_ev, n_by, stop_f, win_base, pred_fs) = st
         carrier = carrier_f != 0
 
         @pl.when(carrier)

@@ -9,7 +9,9 @@ from minimodem_tpu.models.modem import FskModem
 from minimodem_tpu.ops.device_rx import DeviceReceiver
 
 
-def test_mega_interpret_parity(monkeypatch):
+def _mega_vs_device(monkeypatch, m, waves, spec=None):
+    """Assert event-for-event equality between the XLA device receiver
+    and the (interpret-mode) megakernel for a batch of waveforms."""
     from jax.experimental import pallas as pl
 
     orig_call = pl.pallas_call
@@ -19,16 +21,15 @@ def test_mega_interpret_parity(monkeypatch):
         return orig_call(*a, **k)
 
     monkeypatch.setattr(pl, "pallas_call", interp_call)
+    if spec is not None:
+        monkeypatch.setenv("MINIMODEM_TPU_SPEC", str(spec))
 
     from minimodem_tpu.ops import pallas_rx as P
 
     P.build_mega_rx.cache_clear()
     try:
-        m = FskModem("1200")
-        payloads = [b"mega kernel parity", b"second stream, other text"]
-        waves = [m.modulate(p) for p in payloads]
         L = max(len(w) for w in waves)
-        batch = np.zeros((2, L), np.float32)
+        batch = np.zeros((len(waves), L), np.float32)
         for i, w in enumerate(waves):
             batch[i, :len(w)] = w
         totals = [len(w) for w in waves]
@@ -37,8 +38,48 @@ def test_mega_interpret_parity(monkeypatch):
             batch, totals, 1.5, 2.3)
         mega_events = P.MegaReceiver(m.cfg).run_events_batch(
             batch, totals, 1.5, 2.3)
-        for i in range(2):
+        for i in range(len(waves)):
+            assert len(ref_events[i]) == len(mega_events[i])
             for a, b in zip(ref_events[i], mega_events[i]):
                 assert np.array_equal(a, b)
     finally:
         P.build_mega_rx.cache_clear()
+
+
+def test_mega_interpret_parity(monkeypatch):
+    m = FskModem("1200")
+    payloads = [b"mega kernel parity", b"second stream, other text"]
+    _mega_vs_device(monkeypatch, m, [m.modulate(p) for p in payloads])
+
+
+@pytest.mark.parametrize("spec", [1, 2, 4, 8])
+def test_mega_parity_spec_depths(monkeypatch, spec):
+    """Speculative depths must not change decisions: clean signal plus a
+    silence gap (carrier drop mid-stream) and a re-acquisition."""
+    m = FskModem("1200")
+    w1 = m.modulate(b"first burst")
+    gap = np.zeros(m.cfg.sample_rate // 2, np.float32)
+    w2 = m.modulate(b"second burst after silence")
+    _mega_vs_device(monkeypatch, m,
+                    [np.concatenate([w1, gap, w2])], spec=spec)
+
+
+def test_mega_parity_noise(monkeypatch):
+    """Noise forces fine rescans and mispredicted speculative frames; the
+    commit chain must fall back to the sequential decisions exactly."""
+    m = FskModem("1200")
+    rng = np.random.default_rng(11)
+    waves = []
+    for seed, level in ((1, 0.2), (2, 0.4)):
+        w = m.modulate(bytes(range(33, 127)))
+        w = w + rng.uniform(-level, level, len(w)).astype(np.float32)
+        waves.append(w.astype(np.float32))
+    _mega_vs_device(monkeypatch, m, waves)
+
+
+def test_mega_parity_rate_slop(monkeypatch):
+    """Off-rate TX (timing drift) keeps fstart moving, so speculation
+    mispredicts constantly — decisions must still match the device
+    engine frame-for-frame."""
+    w = FskModem("305").modulate(b"rate slop speculation check")
+    _mega_vs_device(monkeypatch, FskModem("300"), [w])
