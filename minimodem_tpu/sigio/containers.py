@@ -9,10 +9,17 @@ output, no timestamps, no peak chunks:
   aiff/aif (incl. AIFC fl32/sowt), caf, w64, rf64, wavex, nist (SPHERE),
   ircam, pvf, htk, avr, voc, svx (IFF/16SV)
 
+  plus mat4/mat5 (MATLAB), paf (Ensoniq PARIS), mpc2k (Akai MPC 2000),
+  sd2 (Sound Designer II data fork), sds (MIDI Sample Dump Standard,
+  7-bit packetized), wve (Psion A-law), xi (FastTracker 2 instrument,
+  16-bit delta PCM)
+
 Compressed/codec containers live elsewhere (flac: native/flacdec.cpp +
-sigio/flacenc.py; ogg: sigio/oggvorbis.py).  The few remaining majors
-(paf, mat4, mat5, xi, sds, sd2, wve, mpc2k) raise the configured-without
-error in wavfile._container_from_path.
+sigio/flacenc.py; ogg: sigio/oggvorbis.py).  With these, every major in
+the reference's extension table (src/simpleaudio-sndfile.c:111-157) is
+covered.  The exotic-container layouts were derived empirically against
+libsndfile 1.1.0 and are locked by tests/test_sndfile_interop.py, which
+cross-reads real libsndfile output and vice versa.
 
 Each codec provides:
 - header(stream, data_nbytes) -> bytes   (placeholder at open, final at
@@ -266,7 +273,7 @@ class Caf(_Codec):
 
 
 # -------------------------------------------------------------------- W64
-_W64_RIFF = bytes.fromhex("72696666912E11CFA5D628DB04C10000")
+_W64_RIFF = bytes.fromhex("726966662E91CF11A5D628DB04C10000")
 _W64_WAVE = bytes.fromhex("77617665F3ACD3118CD100C04F8EDB8A")
 _W64_FMT = bytes.fromhex("666D7420F3ACD3118CD100C04F8EDB8A")
 _W64_DATA = bytes.fromhex("64617461F3ACD3118CD100C04F8EDB8A")
@@ -392,8 +399,8 @@ class Rf64(_Codec):
                 _riff64, data64, _n64, _tbl = struct.unpack(
                     "<qqqI", body[:28])
             elif cid == b"fmt ":
-                body = fh.read(csize + (csize & 1))
-                fmt = struct.unpack("<HHIIHH", body[:16])
+                fmt_raw = fh.read(csize + (csize & 1))
+                fmt = struct.unpack("<HHIIHH", fmt_raw[:16])
             elif cid == b"data":
                 data_nbytes = csize if csize != 0xFFFFFFFF else data64
                 if data_nbytes is None:
@@ -404,6 +411,10 @@ class Rf64(_Codec):
         if fmt is None:
             raise RuntimeError(f"{stream.path}: no fmt chunk")
         tag, ch, rate, _br, _ba, bits = fmt
+        if tag == 0xFFFE and len(fmt_raw) >= 26:
+            # WAVE_FORMAT_EXTENSIBLE: the real tag leads the SubFormat
+            # GUID (same handling as wavfile._parse_wav)
+            (tag,) = struct.unpack("<H", fmt_raw[24:26])
         if tag == _FLOAT:
             dt = np.dtype("<f4") if bits == 32 else np.dtype("<f8")
         elif tag == _PCM and bits in (16, 32):
@@ -506,8 +517,10 @@ class Nist(_Codec):
 
 
 # ------------------------------------------------------------------ IRCAM
+# four historical IRCAM magic variants (VAX/Sun/MIPS/NeXT); libsndfile
+# writes 0x0003A364 little-endian and 0x0002A364 big-endian
+_IRCAM_MAGICS = (0x0001A364, 0x0002A364, 0x0003A364, 0x0004A364)
 _IRCAM_BE = 0x0001A364
-_IRCAM_LE = 0x64A30100
 _IRCAM_PCM16 = 0x00002
 _IRCAM_FLOAT = 0x00004
 
@@ -532,13 +545,14 @@ class Ircam(_Codec):
 
     def sniff(self, head: bytes, ext: str) -> bool:
         (m_be,) = struct.unpack(">I", head[:4])
-        return m_be in (_IRCAM_BE, _IRCAM_LE)
+        (m_le,) = struct.unpack("<I", head[:4])
+        return m_be in _IRCAM_MAGICS or m_le in _IRCAM_MAGICS
 
     def parse(self, stream) -> None:
         fh = stream._fh
         raw = fh.read(16)
         (m_be,) = struct.unpack(">I", raw[:4])
-        bo = ">" if m_be == _IRCAM_BE else "<"
+        bo = ">" if m_be in _IRCAM_MAGICS else "<"
         rate, ch, enc = struct.unpack(bo + "fII", raw[4:16])
         fh.seek(1024)
         remaining = _file_size(stream) - 1024
@@ -855,7 +869,9 @@ class Mat5(_Codec):
         itemsize = 4 if is_float else 2
         frames = data_nbytes // (itemsize * stream.channels) \
             if stream.channels else 0
-        text = b"MATLAB 5.0 MAT-file, written by minimodem_tpu"
+        # libsndfile's reader scans the text as a C string: the NUL
+        # terminator before the space padding is load-bearing
+        text = b"MATLAB 5.0 MAT-file, written by minimodem_tpu\x00"
         head = text.ljust(124, b" ") + struct.pack("<H", 0x0100) + b"IM"
 
         sr = self._matrix_header(b"samplerate", _MX_DOUBLE, 1, 1)
@@ -863,8 +879,9 @@ class Mat5(_Codec):
                                                     float(stream.rate)))
         out = head + self._element(_MI_MATRIX, sr)
 
-        wd = self._matrix_header(b"wavedata",
-                                 _MX_SINGLE if is_float else _MX_INT16,
+        # libsndfile writes (and its reader requires) array class
+        # mxDOUBLE regardless of the storage type of the data subelement
+        wd = self._matrix_header(b"wavedata", _MX_DOUBLE,
                                  stream.channels, frames)
         mi = _MI_SINGLE if is_float else _MI_INT16
         # the data subelement tag is written here; samples follow raw
@@ -887,11 +904,15 @@ class Mat5(_Codec):
     @staticmethod
     def _subelement(fh):
         """-> (mi_type, size, payload_or_None).  payload is returned for
-        small (tag-embedded) elements; for normal elements the caller
-        reads `size` bytes (+ pad to 8) itself."""
-        st, ssize = struct.unpack("<II", fh.read(8))
+        small (tag-embedded) elements — their data lives in bytes 4..8
+        of the 8-byte tag itself; for normal elements the caller reads
+        `size` bytes (+ pad to 8) itself."""
+        raw = fh.read(8)
+        (st,) = struct.unpack("<I", raw[:4])
         if st & 0xFFFF0000:  # small data element: size in the high half
-            return st & 0xFFFF, st >> 16, fh.read(4)[: st >> 16]
+            size = st >> 16
+            return st & 0xFFFF, size, raw[4:4 + size]
+        (ssize,) = struct.unpack("<I", raw[4:8])
         return st, ssize, None
 
     def parse(self, stream) -> None:
@@ -923,9 +944,19 @@ class Mat5(_Codec):
                 else fh.read(ssize + ((-ssize) % 8))[:ssize]
             name = raw.rstrip(b"\x00").decode("ascii", "replace")
             st, ssize, body = self._subelement(fh)          # data
-            if name == "samplerate" and st == _MI_DOUBLE:
-                raw = body if body is not None else fh.read(8)
-                (rate,) = struct.unpack("<d", raw[:8])
+            if name == "samplerate":
+                # MAT5 allows compressed numeric storage: libsndfile
+                # writes the rate as a small miUINT16 when it fits
+                dt = {1: "<i1", 2: "<u1", 3: "<i2", 4: "<u2", 5: "<i4",
+                      6: "<u4", _MI_SINGLE: "<f4",
+                      _MI_DOUBLE: "<f8"}.get(st)
+                if dt is None:
+                    raise RuntimeError(
+                        f"{stream.path}: unsupported MAT5 samplerate "
+                        f"type {st}")
+                raw = body if body is not None \
+                    else fh.read(ssize + ((-ssize) % 8))[:ssize]
+                rate = float(np.frombuffer(raw[:ssize], dt)[0])
                 fh.seek(end)
                 continue
             if name == "wavedata":
@@ -943,8 +974,376 @@ class Mat5(_Codec):
             fh.seek(end)
 
 
+# ------------------------------------------------------------------- PAF
+class Paf(_Codec):
+    """Ensoniq PARIS: 2048-byte header — magic ' paf' (big-endian file)
+    or 'fap ' (little-endian), then version, endianness (0=big 1=little),
+    samplerate, format (0=PCM16 1=PCM24 2=PCM-S8), channels.  Written
+    big-endian PCM16 like libsndfile 1.1.0; paf24's blocked 24-bit
+    layout is not supported."""
+
+    name = "paf"
+    exts = ("paf",)
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        head = b" paf" + struct.pack(">5I", 0, 0, stream.rate, 0,
+                                     stream.channels)
+        return head.ljust(2048, b"\x00")
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        return _wire(stream, buf, ">i2")
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        return head[:4] in (b" paf", b"fap ")
+
+    def parse(self, stream) -> None:
+        fh = stream._fh
+        raw = fh.read(24)
+        bo = ">" if raw[:4] == b" paf" else "<"
+        _ver, _endian, rate, fmt, ch = struct.unpack(bo + "5I", raw[4:24])
+        if fmt == 0:
+            dt, bits = np.dtype(bo + "i2"), 16
+        elif fmt == 2:
+            dt, bits = np.dtype(np.int8), 8
+        else:
+            raise RuntimeError(
+                f"{stream.path}: unsupported PAF format {fmt} "
+                "(paf24 blocked layout)")
+        fh.seek(2048)
+        _set_src(stream, rate, ch, dt, bits, _PCM,
+                 _file_size(stream) - 2048)
+
+
+# ------------------------------------------------------------------- SD2
+class Sd2(_Codec):
+    """Sound Designer II data fork: headerless big-endian PCM16 (the
+    rate/format metadata lives in a Mac resource fork that neither
+    libsndfile 1.1.0 on this image nor this codec materializes — its
+    .sd2 output is exactly this data fork).  Read at the configured
+    stream rate, like RAW."""
+
+    name = "sd2"
+    exts = ("sd2",)
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        return b""
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        return _wire(stream, buf, ">i2")
+
+    # no magic: reached only via the .sd2 extension on read
+    def sniff(self, head: bytes, ext: str) -> bool:
+        return ext == "sd2"
+
+    def parse(self, stream) -> None:
+        stream._fh.seek(0)
+        _set_src(stream, stream.rate, stream.channels, np.dtype(">i2"),
+                 16, _PCM, _file_size(stream))
+
+
+# ------------------------------------------------------------------ MPC2K
+class Mpc2k(_Codec):
+    """Akai MPC 2000 sample: 42-byte header — bytes {01 04}, 17-byte
+    space-padded name, level (100), tune, channels byte (0=mono
+    1=stereo), u32 LE start / loopend / end / frames?, loop flags, and a
+    u16 LE sample rate at offset 40; PCM16 LE data.  Field layout
+    matched byte-for-byte against libsndfile 1.1.0 output."""
+
+    name = "mpc2k"
+    exts = ("mpc2k", "mpc")
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        frames = data_nbytes // (2 * stream.channels) \
+            if stream.channels else 0
+        # fixed label, not the basename libsndfile stamps: output bytes
+        # must not depend on the output path (TX determinism contract)
+        name = b"minimodem_tpu".ljust(17)
+        return (b"\x01\x04" + name
+                + struct.pack("<BBB", 100, 0,
+                              1 if stream.channels == 2 else 0)
+                + struct.pack("<III", 0, frames, frames)
+                + struct.pack("<IBB", frames, 0, 1)
+                + struct.pack("<H", min(stream.rate, 0xFFFF)))
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        return _wire(stream, buf, "<i2")
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        return ext in ("mpc", "mpc2k") and head[:2] == b"\x01\x04"
+
+    def parse(self, stream) -> None:
+        fh = stream._fh
+        raw = fh.read(42)
+        ch = 2 if raw[21] == 1 else 1
+        (rate,) = struct.unpack("<H", raw[40:42])
+        _set_src(stream, rate, ch, np.dtype("<i2"), 16, _PCM,
+                 _file_size(stream) - 42)
+
+
+# ---------------------------------------------------------------- A-law
+def _alaw_decode_table() -> np.ndarray:
+    """G.711 A-law -> int16 (16-bit range), the table libsndfile uses."""
+    out = np.empty(256, np.int16)
+    for i in range(256):
+        a = i ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[i] = t if (a & 0x80) else -t
+    return out
+
+
+_ALAW_DEC = _alaw_decode_table()
+# encode via nearest-boundary search over the decode table's positive half
+_ALAW_SEG = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF],
+                     np.int32)
+
+
+def _alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 -> A-law u8.  Negative magnitudes are (-pcm) >> 3, NOT the
+    classic g711.c -(pcm >> 3) - 1: that's libsndfile's convention, and
+    tests/test_sndfile_interop.py pins byte equality with it."""
+    x = np.asarray(pcm, np.int32)
+    neg = x < 0
+    v = np.where(neg, -x, x) >> 3
+    mask = np.where(neg, 0x55, 0xD5)
+    seg = np.searchsorted(_ALAW_SEG, v)
+    seg_c = np.minimum(seg, 7)
+    low = np.where(seg_c < 2, (v >> 1) & 0xF, (v >> seg_c) & 0xF)
+    aval = (seg_c << 4) | low
+    aval = np.where(seg > 7, 0x7F, aval)
+    return (aval ^ mask).astype(np.uint8)
+
+
+# -------------------------------------------------------------------- WVE
+class Wve(_Codec):
+    """Psion Series 3 sound file: 'ALawSoundFile**\\0' magic, u16 BE
+    version 0x0F10, u32 BE sample count, 10 pad bytes (32-byte header),
+    then G.711 A-law at a fixed 8000 Hz (the format carries no rate;
+    readers, including libsndfile, always report 8000)."""
+
+    name = "wve"
+    exts = ("wve",)
+
+    _MAGIC = b"ALawSoundFile**\x00"
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        return (self._MAGIC + struct.pack(">HI", 0x0F10, data_nbytes)
+                + b"\x00" * 10)
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        if stream.format is SampleFormat.FLOAT:
+            buf = _quantize16(buf)
+        return _alaw_encode(np.asarray(buf, np.int16)).tobytes()
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        return head[:16] == self._MAGIC
+
+    def parse(self, stream) -> None:
+        fh = stream._fh
+        fh.seek(16)
+        _ver, count = struct.unpack(">HI", fh.read(6))
+        fh.seek(32)
+        raw = np.frombuffer(fh.read(count), np.uint8)
+        pcm = _ALAW_DEC[raw]
+        vals = (pcm.astype(np.float32) / np.float32(32768.0)
+                if stream.format is SampleFormat.FLOAT else pcm)
+        stream.rate = 8000
+        stream.channels = 1
+        stream._mem_buf = vals
+        stream._mem_pos = 0
+        stream._src_dtype = "mem"
+        stream._src_bits = 16
+        stream._src_fmt_tag = _PCM
+        stream._data_remaining = vals.nbytes
+
+
+# -------------------------------------------------------------------- SDS
+class Sds(_Codec):
+    """MIDI Sample Dump Standard: a 21-byte dump-header sysex (format
+    bits, sample period in ns, length) followed by 127-byte data packets
+    — 40 16-bit samples each as 3 MSB-first 7-bit bytes (value offset by
+    0x8000), XOR checksum.  Layout verified against libsndfile 1.1.0."""
+
+    name = "sds"
+    exts = ("sds",)
+
+    @staticmethod
+    def _u21(v: int) -> bytes:
+        return bytes([v & 0x7F, (v >> 7) & 0x7F, (v >> 14) & 0x7F])
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        # data_nbytes counts packet wire bytes, not samples — the frame
+        # counter tracks the true sample count
+        nframes = getattr(stream, "_frames_written", 0)
+        period = round(1e9 / stream.rate) if stream.rate else 0
+        return (b"\xF0\x7E\x00\x01\x00\x00\x10"
+                + self._u21(period) + self._u21(nframes)
+                + self._u21(0) + self._u21(0) + b"\x00\xF7")
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        if stream.channels != 1:
+            raise RuntimeError("SDS supports mono only")
+        if stream.format is SampleFormat.FLOAT:
+            buf = _quantize16(buf)
+        pend = getattr(stream, "_sds_pend", np.zeros(0, np.int16))
+        buf = np.concatenate([pend, np.asarray(buf, np.int16)])
+        n_full = len(buf) // 40 * 40
+        stream._sds_pend = buf[n_full:]
+        out = self._packets(stream, buf[:n_full])
+        return out
+
+    def _packets(self, stream, samples: np.ndarray) -> bytes:
+        if not len(samples):
+            return b""
+        u = samples.astype(np.int32) + 0x8000
+        tri = np.empty((len(samples), 3), np.uint8)
+        tri[:, 0] = (u >> 9) & 0x7F
+        tri[:, 1] = (u >> 2) & 0x7F
+        tri[:, 2] = (u & 0x3) << 5
+        seq0 = getattr(stream, "_sds_seq", 0)
+        out = bytearray()
+        for i in range(0, len(samples), 40):
+            data = tri[i:i + 40].tobytes().ljust(120, b"\x00")
+            seq = (seq0 + i // 40) & 0x7F
+            ck = 0x7E ^ 0x00 ^ 0x02 ^ seq
+            for b in data:
+                ck ^= b
+            out += b"\xF0\x7E\x00\x02" + bytes([seq]) + data \
+                + bytes([ck & 0x7F]) + b"\xF7"
+        stream._sds_seq = seq0 + len(samples) // 40
+        return bytes(out)
+
+    def flush(self, stream) -> bytes:
+        pend = getattr(stream, "_sds_pend", np.zeros(0, np.int16))
+        stream._sds_pend = np.zeros(0, np.int16)
+        return self._packets(stream, pend)
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        return head[:4] == b"\xF0\x7E\x00\x01" or (
+            ext == "sds" and head[:2] == b"\xF0\x7E")
+
+    def parse(self, stream) -> None:
+        fh = stream._fh
+        raw = fh.read(21)
+        if raw[3] != 0x01:
+            raise RuntimeError(f"{stream.path}: no SDS dump header")
+        fmt_bits = raw[6]
+        if fmt_bits not in (14, 15, 16):
+            raise RuntimeError(
+                f"{stream.path}: unsupported SDS depth {fmt_bits}")
+        period = raw[7] | (raw[8] << 7) | (raw[9] << 14)
+        nframes = raw[10] | (raw[11] << 7) | (raw[12] << 14)
+        rate = int(round(1e9 / period)) if period else 0
+        chunks = []
+        got = 0
+        while got < nframes:
+            pkt = fh.read(127)
+            if len(pkt) < 127 or pkt[0] != 0xF0 or pkt[3] != 0x02:
+                break
+            tri = np.frombuffer(pkt[5:125], np.uint8).reshape(40, 3)
+            vals = ((tri[:, 0].astype(np.int32) << 9)
+                    | (tri[:, 1].astype(np.int32) << 2)
+                    | (tri[:, 2].astype(np.int32) >> 5)) - 0x8000
+            chunks.append(vals.astype(np.int16))
+            got += 40
+        pcm = (np.concatenate(chunks)[:nframes] if chunks
+               else np.zeros(0, np.int16))
+        vals = (pcm.astype(np.float32) / np.float32(32768.0)
+                if stream.format is SampleFormat.FLOAT else pcm)
+        stream.rate = rate
+        stream.channels = 1
+        stream._mem_buf = vals
+        stream._mem_pos = 0
+        stream._src_dtype = "mem"
+        stream._src_bits = 16
+        stream._src_fmt_tag = _PCM
+        stream._data_remaining = vals.nbytes
+
+
+# --------------------------------------------------------------------- XI
+class Xi(_Codec):
+    """FastTracker 2 instrument: 0x152-byte header ('Extended
+    Instrument: ', 22-byte name, 0x1A, 20-byte tracker id, version
+    0x0102, zeroed keymap/envelope block, fadeout, one sample entry)
+    holding 16-bit little-endian DELTA-coded PCM.  The format carries no
+    sample rate; libsndfile reports 44100 and so does this reader.
+    Layout matched against libsndfile 1.1.0 output."""
+
+    name = "xi"
+    exts = ("xi",)
+
+    def header(self, stream, data_nbytes: int) -> bytes:
+        out = b"Extended Instrument: "
+        out += b"minimodem_tpu".ljust(22) + b"\x1A"
+        out += b"minimodem_tpu".ljust(20)
+        out += struct.pack("<H", 0x0102)
+        out += b"\x00" * (96 + 48 + 48 + 14)      # keymap + envelopes
+        out += struct.pack("<H", 0x1234)          # volume fadeout
+        out += b"\x00" * 22
+        out += struct.pack("<H", 1)               # sample count
+        # sample header: length, loopstart, looplen, vol, fine, type
+        # (0x10 = 16-bit), pan, relnote, reserved, 22-byte name
+        out += struct.pack("<IIIBbBBbB", data_nbytes, 0, 0,
+                           0x80, 0, 0x10, 0x80, 0, 0)
+        out += b"Sample #1".ljust(22, b"\x00")
+        assert len(out) == 0x152, len(out)
+        return out
+
+    def encode(self, stream, buf: np.ndarray) -> bytes:
+        if stream.channels != 1:
+            raise RuntimeError("XI supports mono only")
+        if stream.format is SampleFormat.FLOAT:
+            buf = _quantize16(buf)
+        buf = np.asarray(buf, np.int16)
+        prev = getattr(stream, "_xi_prev", np.int16(0))
+        delta = (buf.astype(np.int32)
+                 - np.concatenate([[np.int32(prev)],
+                                   buf[:-1].astype(np.int32)]))
+        if len(buf):
+            stream._xi_prev = buf[-1]
+        return delta.astype(np.int16).astype("<i2").tobytes()
+
+    def sniff(self, head: bytes, ext: str) -> bool:
+        return head[:21] == b"Extended Instrument: "
+
+    def parse(self, stream) -> None:
+        fh = stream._fh
+        fh.seek(0x128)
+        (nsamples,) = struct.unpack("<H", fh.read(2))
+        if nsamples != 1:
+            raise RuntimeError(
+                f"{stream.path}: multi-sample XI not supported")
+        length, _ls, _ll, _vol, _fine, s_type = struct.unpack(
+            "<IIIBbB", fh.read(15))
+        if not (s_type & 0x10):
+            raise RuntimeError(f"{stream.path}: 8-bit XI not supported")
+        fh.seek(0x152)
+        nbytes = length or (_file_size(stream) - 0x152)
+        raw = np.frombuffer(fh.read(nbytes), "<i2")
+        pcm = np.cumsum(raw.astype(np.int64)).astype(np.int16)
+        vals = (pcm.astype(np.float32) / np.float32(32768.0)
+                if stream.format is SampleFormat.FLOAT else pcm)
+        stream.rate = 44100
+        stream.channels = 1
+        stream._mem_buf = vals
+        stream._mem_pos = 0
+        stream._src_dtype = "mem"
+        stream._src_bits = 16
+        stream._src_fmt_tag = _PCM
+        stream._data_remaining = vals.nbytes
+
+
+# Sd2 sniffs by extension alone (the data fork is headerless), so it
+# must come after every magic-bearing codec
 _CODECS = [Aiff(), Caf(), W64(), Rf64(), Wavex(), Nist(), Ircam(), Pvf(),
-           Htk(), Avr(), Voc(), Svx(), Mat4(), Mat5()]
+           Htk(), Avr(), Voc(), Svx(), Mat4(), Mat5(), Paf(),
+           Mpc2k(), Wve(), Sds(), Xi(), Sd2()]
 _BY_NAME = {}
 for _c in _CODECS:
     _BY_NAME[_c.name] = _c

@@ -18,9 +18,10 @@ src/simpleaudio-sndfile.c:111-157):
 - .au   : Sun AU, PCM16-BE or float32-BE
 - .raw  : headerless samples at the configured rate/format
 - .aiff/.aif .caf .w64 .rf64 .wavex .nist .ircam .pvf .htk .avr .voc
-  .svx .mat4 .mat5 : PCM-family header codecs (sigio/containers.py)
-The remaining libsndfile majors (paf/xi/sds/sd2/wve/mpc2k) raise a
-clear error.
+  .svx .mat4 .mat5 .paf .sd2 .mpc .wve .sds .xi : container codecs
+  (sigio/containers.py) — every major in the reference's table is
+  covered; layouts for the exotic ones were verified byte-for-byte
+  against libsndfile 1.1.0 (tests/test_sndfile_interop.py).
 """
 
 from __future__ import annotations
@@ -54,7 +55,8 @@ def _container_from_path(path: str) -> str:
         return "ogg"
     if ext in ("aiff", "aif", "caf", "w64", "voc", "mat4",
                "mat5", "paf", "svx", "nist", "ircam", "pvf", "xi", "htk",
-               "sds", "avr", "wavex", "sd2", "wve", "mpc2k", "rf64"):
+               "sds", "avr", "wavex", "sd2", "wve", "mpc", "mpc2k",
+               "rf64"):
         from .containers import supported_container
         if supported_container(ext):
             return ext
@@ -399,6 +401,15 @@ class FileStream(Stream):
             elif self.container == "ogg":
                 self._ogg_writer.close()
             else:
+                # packetizing codecs (SDS) may hold a partial packet
+                flush = getattr(self._codec, "flush", None) \
+                    if self._codec is not None else None
+                if flush is not None:
+                    tail = flush(self)
+                    if tail:
+                        self._fh.write(tail)
+                        self._data_bytes = getattr(
+                            self, "_data_bytes", 0) + len(tail)
                 data_nbytes = getattr(self, "_data_bytes", 0)
                 if self.container == "wav":
                     self._fh.seek(0)

@@ -16,7 +16,8 @@ from minimodem_tpu.sigio.oggvorbis import load_libvorbis
 from minimodem_tpu.sigio.wavfile import FileStream, read_all
 
 PCM_EXTS = ["aiff", "aif", "caf", "w64", "rf64", "wavex", "nist",
-            "ircam", "pvf", "htk", "avr", "voc", "svx", "mat4", "mat5"]
+            "ircam", "pvf", "htk", "avr", "voc", "svx", "mat4", "mat5",
+            "paf", "sd2", "mpc", "sds", "xi"]
 
 _rng = np.random.default_rng(7)
 F32 = np.clip(_rng.standard_normal(4000) * 0.3, -0.999, 0.999) \
@@ -36,8 +37,12 @@ def test_roundtrip(tmp_path, ext, fmt):
     st.write(data)
     st.close()
     out, rate, ch = read_all(path, fmt)
-    if ext == "htk":  # rate lives in 100 ns period units
+    if ext in ("htk", "sds"):  # rate lives in ns/100ns period units
         assert abs(rate - 48000) < 250
+    elif ext == "xi":          # XI carries no rate; 44100 nominal
+        assert rate == 44100
+    elif ext == "sd2":         # headerless data fork: caller's rate
+        assert rate == 0
     else:
         assert rate == 48000
     assert ch == 1
@@ -79,11 +84,19 @@ def test_modem_loopback_aiff(tmp_path):
     assert m.demodulate(back) == b"aiff container loopback"
 
 
-def test_unsupported_majors(tmp_path):
-    for ext in ("paf", "xi", "sds", "sd2", "wve", "mpc2k"):
-        with pytest.raises(RuntimeError, match="external codec"):
-            FileStream(str(tmp_path / f"x.{ext}"), Direction.PLAYBACK,
-                       SampleFormat.S16, 48000, 1)
+def test_wve_alaw_roundtrip(tmp_path):
+    """WVE is G.711 A-law at a fixed 8000 Hz: reads always report 8000
+    and samples quantize to the A-law grid (libsndfile behaves the
+    same)."""
+    path = str(tmp_path / "x.wve")
+    st = FileStream(path, Direction.PLAYBACK, SampleFormat.FLOAT, 8000, 1)
+    st.write(F32)
+    st.close()
+    out, rate, ch = read_all(path, SampleFormat.FLOAT)
+    assert (rate, ch) == (8000, 1)
+    assert out.shape == F32.shape
+    assert np.abs(out - F32).max() < 0.04  # A-law: ~1/16 step at peak
+    assert np.corrcoef(out, F32)[0, 1] > 0.999
 
 
 def test_svx_is_mono_only(tmp_path):

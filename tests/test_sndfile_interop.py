@@ -1,0 +1,158 @@
+"""Container interop against a REAL libsndfile (loaded from the pygame
+wheel when present; every test skips cleanly otherwise).
+
+The reference's entire file layer is libsndfile
+(/root/reference/src/simpleaudio-sndfile.c:111-157 maps 25 majors by
+extension), so this is direct interop evidence for the file surface:
+
+- ours -> theirs: every container written by sigio must load in
+  libsndfile with the same samples, rate, and channel count;
+- theirs -> ours: every container written by libsndfile (with the
+  subtype the reference's S16 path would pick) must decode in sigio to
+  the same samples;
+- end-to-end: a WAV the reference stack writes must demodulate in our
+  receiver, and our TX output must read back through libsndfile.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from minimodem_tpu.sigio import Direction, SampleFormat
+from minimodem_tpu.sigio.wavfile import FileStream, read_all
+
+from . import sndfile_ref as S
+
+pytestmark = pytest.mark.skipif(
+    S.load() is None, reason="no libsndfile on this host")
+
+_rng = np.random.default_rng(13)
+S16 = np.clip((_rng.standard_normal(4000) * 9000), -32767, 32767) \
+    .astype(np.int16)
+
+# extensions exercised end-to-end; left out: ogg (lossy, covered by a
+# correlation check below), sd2 (headerless data fork: libsndfile
+# cannot reopen it without a resource fork either)
+LOSSLESS_EXTS = ["wav", "aiff", "au", "caf", "w64", "rf64", "nist",
+                 "ircam", "pvf", "htk", "avr", "voc", "svx", "mat4",
+                 "mat5", "paf", "mpc2k", "sds", "xi", "flac"]
+
+
+def _ext_path(tmp_path, ext: str, stem: str) -> str:
+    # libsndfile selects the major by extension: mpc2k's is ".mpc"
+    suffix = "mpc" if ext == "mpc2k" else ext
+    return str(tmp_path / f"{stem}.{suffix}")
+
+
+def _rate_for(ext: str) -> int:
+    return 8000 if ext == "wve" else 48000
+
+
+@pytest.mark.parametrize("ext", LOSSLESS_EXTS)
+def test_ours_to_libsndfile(tmp_path, ext):
+    path = _ext_path(tmp_path, ext, "ours")
+    st = FileStream(path, Direction.PLAYBACK, SampleFormat.S16,
+                    _rate_for(ext), 1)
+    st.write(S16)
+    st.close()
+    buf, rate, ch = S.read(path)
+    assert ch == 1
+    if ext in ("htk", "sds"):
+        assert abs(rate - 48000) < 250
+    elif ext == "xi":
+        assert rate == 44100
+    else:
+        assert rate == 48000
+    assert len(buf) == len(S16)
+    got = np.rint(buf * 32768.0).astype(np.int32)
+    assert np.array_equal(got, S16.astype(np.int32)), ext
+
+
+@pytest.mark.parametrize("ext", LOSSLESS_EXTS)
+def test_libsndfile_to_ours(tmp_path, ext):
+    path = _ext_path(tmp_path, ext, "theirs")
+    fmt = S.MAJOR_BY_EXT[ext] | S.SUBTYPE_BY_EXT[ext]
+    S.write(path, S16, _rate_for(ext), fmt)
+    out, rate, ch = read_all(path, SampleFormat.S16)
+    assert ch == 1
+    if ext in ("htk", "sds"):
+        assert abs(rate - 48000) < 250
+    elif ext == "xi":
+        assert rate == 44100
+    else:
+        assert rate == 48000
+    assert out.shape[0] >= len(S16)
+    assert np.array_equal(out[: len(S16)], S16), ext
+
+
+def test_wve_alaw_both_ways(tmp_path):
+    """A-law quantization must agree bit-for-bit in both directions."""
+    ours = _ext_path(tmp_path, "wve", "ours")
+    st = FileStream(ours, Direction.PLAYBACK, SampleFormat.S16, 8000, 1)
+    st.write(S16)
+    st.close()
+    buf, rate, ch = S.read(ours)
+    assert (rate, ch) == (8000, 1)
+
+    theirs = _ext_path(tmp_path, "wve", "theirs")
+    S.write(theirs, S16, 8000, S.MAJOR_BY_EXT["wve"]
+            | S.SUBTYPE_BY_EXT["wve"])
+    out, rate2, _ = read_all(theirs, SampleFormat.FLOAT)
+    assert rate2 == 8000
+    # identical A-law tables -> identical decoded floats
+    assert np.array_equal(out[: len(buf)], buf)
+    # and our writer's bytes equal libsndfile's A-law bytes exactly
+    with open(ours, "rb") as fh:
+        ours_alaw = fh.read()[32:]
+    with open(theirs, "rb") as fh:
+        theirs_alaw = fh.read()[32:]
+    assert ours_alaw == theirs_alaw
+
+
+def test_modem_tx_reads_in_libsndfile(tmp_path):
+    """A WAV produced by our TX loads in the reference's file stack."""
+    from minimodem_tpu.models.modem import FskModem
+
+    m = FskModem("1200")
+    wav = m.modulate(b"interop tx")
+    path = str(tmp_path / "tx.wav")
+    st = FileStream(path, Direction.PLAYBACK, SampleFormat.FLOAT,
+                    48000, 1)
+    st.write(wav)
+    st.close()
+    buf, rate, ch = S.read(path)
+    assert (rate, ch) == (48000, 1)
+    assert np.allclose(buf, wav, atol=0)
+
+
+def test_libsndfile_wav_demodulates(tmp_path):
+    """Audio written through the reference's file stack (libsndfile
+    S16 WAV, the reference's default TX container) decodes exactly."""
+    from minimodem_tpu.models.modem import FskModem
+
+    m = FskModem("1200")
+    wav = m.modulate(b"interop rx path")
+    s16 = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
+    path = str(tmp_path / "ref.wav")
+    S.write(path, s16, 48000, S.MAJOR_BY_EXT["wav"] | S.SUBTYPE_S16)
+    back, rate, _ = read_all(path, SampleFormat.FLOAT)
+    assert rate == 48000
+    assert m.demodulate(back) == b"interop rx path"
+
+
+def test_ogg_cross_correlation(tmp_path):
+    path = str(tmp_path / "x.ogg")
+    t = np.arange(48000, dtype=np.float32) / 48000.0
+    sig = (0.5 * np.sin(2 * np.pi * 1200 * t) * 32767).astype(np.int16)
+    st = FileStream(path, Direction.PLAYBACK, SampleFormat.S16, 48000, 1)
+    st.write(sig)
+    st.close()
+    try:
+        buf, rate, ch = S.read(path)
+    except RuntimeError:
+        pytest.skip("libsndfile built without vorbis")
+    assert (rate, ch) == (48000, 1)
+    n = min(len(buf), len(sig))
+    corr = np.corrcoef(buf[:n], sig[:n] / 32768.0)[0, 1]
+    assert corr > 0.99
