@@ -81,8 +81,12 @@ from .device_rx import (
 # window so the dynamic position only needs 128-granular alignment
 W_LANES = 128
 # resident window target size (lanes) beyond the per-frame fetch block; a
-# refill DMA runs every ~W_EXTRA/frame_advance frames
-W_EXTRA = 8192
+# refill DMA runs every ~W_EXTRA/frame_advance frames.  The VMEM cost is
+# 32 B/lane; the round-1 event/byte buffers were (N, 8)/(N, 1) scratch
+# that mosaic pads to 128 lanes (~11 MB) — round 2 bounds the event
+# count tightly and keeps bytes in a lane-major ring register, which is
+# what pays for this much larger window
+W_EXTRA = 65536
 # largest per-frame fetch block we accept before falling back to the XLA
 # receiver (very low baud rates scan tens of thousands of offsets)
 W_FETCH_MAX = 16384
@@ -109,6 +113,15 @@ def _spec_depth() -> int:
     except ValueError:
         s = SPEC_DEPTH
     return max(1, min(s, 16))
+
+
+def _fastpath_on() -> bool:
+    """Lockstep fast-commit path (see build_mega_rx), default on;
+    MINIMODEM_TPU_FASTPATH=0 falls back to the full per-frame scan."""
+    import os
+
+    return os.environ.get("MINIMODEM_TPU_FASTPATH", "1") not in (
+        "0", "", "off")
 
 
 def _static_geom(cfg_key):
@@ -179,12 +192,40 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
     frame_adv = max(1, frame_nsamples - overscan)
     drop_adv = max(1, (FSK_MAX_NOCONFIDENCE_BITS + 1)
                    * min(geom[0]["try_max"], geom[1]["try_max"]))
-    max_events = t_total // frame_adv + t_total // drop_adv + 16
+    # tight event bound: events alternate CARRIER/NOCARRIER; a NOCARRIER
+    # needs >= 21 no-confidence scans (>= drop_adv samples) after the
+    # acquiring frame's advance (>= frame_adv), so consecutive NOCARRIERs
+    # are >= frame_adv + drop_adv apart and the total is bounded by
+    # 2 * t_total / (frame_adv + drop_adv) (+ the final flush)
+    max_events = 2 * (t_total // (frame_adv + drop_adv)) + 16
     # event buffer rows must be sublane-aligned
     e_pad = ((max_events + 7) // 8) * 8
+    # decoded bytes are bounded separately (<= 1 per frame advance) and
+    # live in a lane-major ring: ring row r lane l = byte 128*r + l
+    b_cap = t_total // frame_adv + 17
+    b_rows = (b_cap + 127) // 128
 
     inf = np.float32(np.inf)
     sync_ok = do_rx_sync and 0 <= sync_byte < (1 << n_data_bits)
+
+    # ---- fast-path lockstep commit (statics) ----
+    # When locked, fsk_find_frame's early-exit rule (fsk.c:505-516, the
+    # center-out scan stops at the FIRST candidate whose confidence
+    # crosses the search limit) means candidate 0 — try_first, the scan
+    # center — wins outright whenever its own confidence crosses the
+    # limit.  So a chain of spec_depth frames whose candidate-0
+    # confidences all cross (and provably trigger no refine rescan, no
+    # amplitude squelch, no events) commits from single-lane channel
+    # reads, skipping the full vector scans.  Any deviation falls back
+    # to the architected per-frame path below, so decisions replay the
+    # sequential engine bit-for-bit.
+    c0_fast = geom[1]["coarse"][0]               # = overscan (try_first)
+    adv_fast = c0_fast + frame_nsamples - overscan
+    adv_max_s = geom[1]["try_max"] + frame_nsamples - overscan
+    span_fast = w_fetch + (spec_depth - 1) * adv_max_s
+    use_fast = (_fastpath_on() and spec_depth > 1 and adv_fast > 0
+                and span_fast + W_LANES <= w_res)
+    fill_span = span_fast if use_fast else w_fetch
     # candidate tables as kernel inputs (pallas kernels cannot capture
     # array constants); row = carrier flag
     cand_c_in = np.full((2, Kc), -1, np.int32)
@@ -289,6 +330,24 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
                     jnp.where(got, blo, jnp.int32(0)),
                     jnp.where(got, t, jnp.int32(0)))
 
+        lane128b = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def byte_append(cur, n_by, word, emit):
+            """Append `word` to the lane-major byte ring when `emit`:
+            blend into the (1, 128) carry row, flush to VMEM when lane
+            127 fills.  (The round-1 (N, 1) buffer padded to 128 lanes
+            in VMEM and took a dynamic-row RMW store per byte; the ring
+            stores once per 128 bytes.)"""
+            oh = lane128b == (n_by & 127)
+            cur = jnp.where(jnp.logical_and(oh, emit), word, cur)
+            full = jnp.logical_and(emit, (n_by & 127) == 127)
+
+            @pl.when(full)
+            def _():
+                bytes_vmem[pl.ds(n_by // 128, 1), :] = cur
+
+            return cur, n_by + jnp.where(emit, 1, 0)
+
         def store_event(i, reci8, recf8):
             # scalar bitcasts are not lowerable; blend an i32 lane vector
             # with an f32 lane vector through VECTOR bitcasts (lanes 1,2 =
@@ -320,7 +379,7 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
             acquisitions (needs carrier == 0), their event stores, and
             the post-drop resets are statically impossible and elided."""
             (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
-             nframes, carrier_ns, n_ev, n_by, stop_f) = st12
+             nframes, carrier_ns, n_ev, n_by, stop_f, byrow) = st12
             gate = ((lambda x: x) if enable is None
                     else (lambda x: jnp.logical_and(enable, x)))
             if locked:
@@ -434,11 +493,7 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
                 emit_byte = jnp.logical_and(
                     got, word != jnp.int32(sync_byte))
 
-            @pl.when(gate(emit_byte))
-            def _():
-                bytes_vmem[pl.ds(n_by, 1), :] = word[None, None]
-
-            n_by = n_by + jnp.where(emit_byte, 1, 0)
+            byrow, n_by = byte_append(byrow, n_by, word, gate(emit_byte))
 
             pos = pos + advance
             if locked:
@@ -457,14 +512,15 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
                 if rx_one:
                     stop_f = jnp.where(drop_report, jnp.int32(1), stop_f)
             return ((pos, new_carrier, noconf, track, peak, conf_tot,
-                     ampl_tot, nframes, carrier_ns, n_ev, n_by, stop_f),
+                     ampl_tot, nframes, carrier_ns, n_ev, n_by, stop_f,
+                     byrow),
                     got, fstart)
 
         # ---------------- state machine ----------------
         def cond(st):
             (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
              nframes, carrier_ns, n_ev, n_by, stop_f, win_base,
-             pred_fs) = st
+             pred_fs, byrow) = st
             return jnp.logical_and(
                 stop_f == 0,
                 jnp.logical_and(pos + expect_nsamples <= total,
@@ -473,13 +529,14 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
         def body(st):
             (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
              nframes, carrier_ns, n_ev, n_by, stop_f, win_base,
-             pred_fs) = st
+             pred_fs, byrow) = st
             carrier_i = carrier_f
             expect_i = 1 - carrier_i
 
-            # resident-window refill: only when the fetch block would run
-            # off its end (win_base starts at a sentinel forcing a fetch)
-            need_fill = pos - win_base + w_fetch > w_res
+            # resident-window refill: only when the fetch block (plus the
+            # fast path's lockstep span) would run off its end (win_base
+            # starts at a sentinel forcing a fetch)
+            need_fill = pos - win_base + fill_span > w_res
 
             @pl.when(need_fill)
             def _():
@@ -487,9 +544,126 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
 
             win_base = jnp.where(need_fill, (pos // W_LANES) * W_LANES,
                                  win_base)
+            off_res = pos - win_base            # [0, w_res - fill_span]
+
+            def slow_body(_):
+                return _slow_body(st, win_base, off_res)
+
+            if not use_fast:
+                return slow_body(None)
+
+            # ---- fast-path probe: single-lane channel reads at the
+            # chain positions (see the statics block above) ----
+            def probe(_):
+                lane128 = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 128), 1)[0]               # [128]
+                cs, avs, bvs = [], [], []
+                for k in range(spec_depth):
+                    p = off_res + jnp.int32(k * adv_fast + c0_fast)
+                    lk = pl.multiple_of((p // W_LANES) * W_LANES,
+                                        W_LANES)
+                    blkk = win_vmem[:, pl.ds(lk, 128)]       # [8, 128]
+                    oh = lane128 == (p - lk)
+                    cd = jax.lax.bitcast_convert_type(blkk[0, :],
+                                                      jnp.float32)
+                    ad = jax.lax.bitcast_convert_type(blkk[2, :],
+                                                      jnp.float32)
+                    bd = jax.lax.bitcast_convert_type(blkk[4, :],
+                                                      jnp.int32)
+                    cs.append(jnp.sum(jnp.where(oh, cd, 0.0),
+                                      dtype=jnp.float32))
+                    avs.append(jnp.sum(jnp.where(oh, ad, 0.0),
+                                       dtype=jnp.float32))
+                    bvs.append(jnp.sum(jnp.where(oh, bd, jnp.int32(0)),
+                                       dtype=jnp.int32))
+                cmin = cmax = cs[0]
+                amin = amax = avs[0]
+                for k in range(1, spec_depth):
+                    cmin = jnp.minimum(cmin, cs[k])
+                    cmax = jnp.maximum(cmax, cs[k])
+                    amin = jnp.minimum(amin, avs[k])
+                    amax = jnp.maximum(amax, avs[k])
+                # candidate 0 crosses the search limit at every frame
+                # (early-exit win) and clears the confidence threshold;
+                # NaNs fail the >= and fall back to the full scan
+                ok = jnp.logical_and(cmin >= conf_search_limit,
+                                     cmin > conf_threshold)
+                # provably no refine rescan: conf >= (running peak)*0.75
+                # with peak_k <= max(entry peak, all chain confs)
+                ok = jnp.logical_and(
+                    ok, cmin >= jnp.maximum(peak, cmax)
+                    * jnp.float32(0.75))
+                # provably no amplitude squelch: ampl >= (running
+                # track)*0.25 with track_k <= max(entry track, all ampls)
+                ok = jnp.logical_and(
+                    ok, amin >= jnp.maximum(track, amax)
+                    * jnp.float32(0.25))
+                # every chained frame inside the stream bound
+                last = pos + jnp.int32((spec_depth - 1) * adv_fast)
+                ok = jnp.logical_and(ok, last + expect_nsamples <= total)
+                return (jnp.where(ok, jnp.int32(1), jnp.int32(0)),
+                        *cs, *avs, *bvs)
+
+            zf32_ = jnp.float32(0.0)
+            zi32_ = jnp.int32(0)
+            probe_out = jax.lax.cond(
+                carrier_f == 1, probe,
+                lambda _: (zi32_,) + (zf32_,) * (2 * spec_depth)
+                + (zi32_,) * spec_depth,
+                0)
+
+            # ---- fast apply: commit the whole chain with the exact
+            # per-frame scalar update sequence of post() ----
+            def fast_apply(args):
+                cs = args[1:1 + spec_depth]
+                avs = args[1 + spec_depth:1 + 2 * spec_depth]
+                bvs = args[1 + 2 * spec_depth:1 + 3 * spec_depth]
+                track2, peak2 = track, peak
+                conf_tot2, ampl_tot2 = conf_tot, ampl_tot
+                n_by2, byrow2 = n_by, byrow
+                for k in range(spec_depth):
+                    track2 = (track2 + avs[k]) / 2.0
+                    # post: where(got & peak < conf) == max (confs are
+                    # non-NaN here)
+                    peak2 = jnp.maximum(peak2, cs[k])
+                    conf_tot2 = conf_tot2 + cs[k]
+                    ampl_tot2 = ampl_tot2 + avs[k]
+                    word = jax.lax.shift_right_logical(
+                        bvs[k], jnp.int32(nstop_shift + nstartbits)) \
+                        & jnp.int32((1 << n_data_bits) - 1)
+                    if msb_first:
+                        rev = jnp.int32(0)
+                        for j in range(n_data_bits):
+                            rev = rev | (
+                                ((word >> jnp.int32(j)) & jnp.int32(1))
+                                << jnp.int32(n_data_bits - 1 - j))
+                        word = rev
+                    if sync_ok:
+                        emit = word != jnp.int32(sync_byte)
+                    else:
+                        emit = jnp.full((), True)
+                    byrow2, n_by2 = byte_append(byrow2, n_by2, word,
+                                                emit)
+                pos2 = pos + jnp.int32(spec_depth * adv_fast)
+                carrier_ns2 = carrier_ns + jnp.int32(
+                    spec_depth * adv_fast)
+                return (pos2, jnp.int32(1), jnp.int32(0), track2, peak2,
+                        conf_tot2, ampl_tot2,
+                        nframes + jnp.int32(spec_depth), carrier_ns2,
+                        n_ev, n_by2, stop_f, win_base,
+                        jnp.int32(c0_fast), byrow2)
+
+            return jax.lax.cond(probe_out[0] != 0, fast_apply, slow_body,
+                                probe_out)
+
+        def _slow_body(st, win_base, off_res):
+            (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
+             nframes, carrier_ns, n_ev, n_by, stop_f, _win_base,
+             pred_fs, byrow) = st
+            carrier_i = carrier_f
+            expect_i = 1 - carrier_i
 
             # frame 0: the architected position
-            off_res = pos - win_base              # [0, w_res - w_fetch]
             local = pl.multiple_of((off_res // W_LANES) * W_LANES, W_LANES)
             blk0 = win_vmem[:, pl.ds(local, w_fetch)]      # [8, W_FETCH]
             off0 = off_res - local                         # [0, 128)
@@ -521,7 +695,8 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
 
             # frame 0 commits unconditionally (the architected frame)
             st12 = (pos, carrier_f, noconf, track, peak, conf_tot,
-                    ampl_tot, nframes, carrier_ns, n_ev, n_by, stop_f)
+                    ampl_tot, nframes, carrier_ns, n_ev, n_by, stop_f,
+                    byrow)
             conf0, ampl0, blo0, fs0 = finds[0]
             st12, got0, fsf0 = post(st12, conf0, ampl0, blo0, fs0,
                                     blk0, off0, None)
@@ -569,10 +744,10 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
                     (st12, pred_new))
 
             (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
-             nframes, carrier_ns, n_ev, n_by, stop_f) = st12
+             nframes, carrier_ns, n_ev, n_by, stop_f, byrow) = st12
             return (pos, carrier_f, noconf, track, peak, conf_tot,
                     ampl_tot, nframes, carrier_ns, n_ev, n_by, stop_f,
-                    win_base, pred_new)
+                    win_base, pred_new, byrow)
 
         zf = jnp.float32(0.0)
         zi = jnp.int32(0)
@@ -580,10 +755,18 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
         base0 = jnp.int32(-(1 << 30))
         st = jax.lax.while_loop(
             cond, body,
-            (zi, zi, zi, zf, zf, zf, zf, zi, zi, zi, zi, zi, base0, zi))
+            (zi, zi, zi, zf, zf, zf, zf, zi, zi, zi, zi, zi, base0, zi,
+             jnp.zeros((1, 128), jnp.int32)))
         (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
-         nframes, carrier_ns, n_ev, n_by, stop_f, win_base, pred_fs) = st
+         nframes, carrier_ns, n_ev, n_by, stop_f, win_base, pred_fs,
+         byrow) = st
         carrier = carrier_f != 0
+
+        # flush the partial byte-ring row (lanes >= n_by & 127 hold
+        # stale values, but reads are bounded by n_bytes)
+        @pl.when((n_by & 127) != 0)
+        def _():
+            bytes_vmem[pl.ds(n_by // 128, 1), :] = byrow
 
         @pl.when(carrier)
         def _():
@@ -603,7 +786,7 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
         # full, so outputs stay [B,8,E]/[B,1,E] here and the wrapper
         # transposes to the XLA compact receiver's layout
         ev_ref[...] = ev_vmem[...].T[None]
-        bytes_ref[...] = bytes_vmem[...].reshape(1, 1, e_pad)
+        bytes_ref[...] = bytes_vmem[...].reshape(1, b_rows, 128)
         nev_ref[b] = n_ev_final
         nbytes_ref[b] = n_by
 
@@ -624,20 +807,20 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
             pl.BlockSpec((1, 8, e_pad), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),       # events
             pl.BlockSpec(memory_space=pltpu.SMEM),       # n_events [B]
-            pl.BlockSpec((1, 1, e_pad), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),       # bytes (i32)
+            pl.BlockSpec((1, b_rows, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),       # byte ring (i32)
             pl.BlockSpec(memory_space=pltpu.SMEM),       # n_bytes [B]
         ),
         out_shape=(
             jax.ShapeDtypeStruct((batch, 8, e_pad), jnp.uint32),
             jax.ShapeDtypeStruct((batch,), jnp.int32),
-            jax.ShapeDtypeStruct((batch, 1, e_pad), jnp.int32),
+            jax.ShapeDtypeStruct((batch, b_rows, 128), jnp.int32),
             jax.ShapeDtypeStruct((batch,), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((8, w_res), jnp.uint32),
             pltpu.VMEM((e_pad, 8), jnp.uint32),
-            pltpu.VMEM((e_pad, 1), jnp.int32),
+            pltpu.VMEM((b_rows, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -657,8 +840,8 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
         from .device_rx import pack_compact_results
 
         ev_t = ev.transpose(1, 0, 2)
-        flat = pack_compact_results(
-            ev_t, nev, byt[:, 0, :].astype(jnp.uint8), nby)
+        byt2 = byt.reshape(byt.shape[0], -1).astype(jnp.uint8)
+        flat = pack_compact_results(ev_t, nev, byt2, nby)
         return flat, ev_t
 
     return jax.jit(wrapper), max_events, e_pad

@@ -4,22 +4,34 @@ The XLA score packer (ops/device_rx.py::make_score_packer) materializes
 the correlation, the magnitude planes, and n_bits shifted copies of the
 bit/signal/noise planes in HBM between ops — ~30-50 GB of traffic for a
 64 x 60 s batch, ~150 ms of the batched pipeline.  This kernel computes
-the packed [8, T] uint32 score channels tile-by-tile entirely in VMEM:
+the packed [8, T] uint32 score channels tile-by-tile entirely in VMEM.
 
-  DMA x tile -> im2col banded matmul (the MXU correlator from
-  ops/pallas_demod.py) -> mark/space magnitudes -> per-bit shifted
-  slices accumulated into frame stats (two passes: totals, then
-  divergence) -> confidence/ampl/framing-mask channels -> one packed
-  (8, T_TILE) store.
+Layout (round 2, v2): everything lives in dense (rows, 128) row-major
+form — a vector op uses all 8 sublanes instead of 1 — and the input
+audio arrives as BlockSpec-indexed (R_OUT, 128) blocks so the pallas
+pipeline double-buffers the HBM reads (the v1 kernel issued a blocking
+DMA per tile).  Two constructions make the dense form workable:
 
-HBM traffic drops to read-x + write-packed (~7 GB for the same batch).
+- im2col slab without concat: a scratch X2 with X2[a, m] = x[a*128 + m]
+  is built from K128 sublane-shifted column-block stores, then one
+  [R, KDIM] x [KDIM, 512] MXU matmul gives the 4-basis correlation
+  (see ops/pallas_demod.py for the banded-W trick).
+- overlapped planes: scratch P with P[a, m] = plane[a*128 + m] for
+  m < OV*128 turns the per-bit shifted read (offset bit_begin[k]) into
+  the plain lane slice P[:, s0:s0+128] — no cross-row carries.
+
+The per-bit passes accumulate into (R_OUT, 128) registers; the bit
+value rides in the SIGN of the signal plane (ss = bit ? sig : -sig), so
+one shifted read per bit serves signal, bit, mark-mask, and packing.
 
 Semantics replay make_score_packer exactly (reference: src/fsk.c:117-174
 bit analysis, :178-446 frame analysis / CONFIDENCE_ALGO 6); float32
 rounding can differ in the last bits from the XLA lowering (different
 reduction trees), the same cross-lowering drift the MXU correlator
 already introduces — decisions are threshold comparisons on O(1)-scale
-confidences and are unaffected.
+confidences and are unaffected.  (The v2 layout itself is bit-identical
+to the v1 fused kernel: same ops, same order, only the layout differs —
+verified exhaustively on TPU.)
 
 Float32 geometries only (f64 perfection-capable configs keep the XLA
 path); batches transparently under jax.vmap via the same custom_vmap
@@ -34,18 +46,37 @@ import numpy as np
 
 from .pallas_demod import MAX_NB, _kdim, make_banded_w
 
-# packed offsets per grid step: the per-bit passes unroll ~3*n_bits
-# [1, T_TILE] temporaries whose scoped-stack footprint must stay inside
-# the 16 MB VMEM budget — 8192 keeps a 10-bit frame near ~10 MB
 T_TILE = 8192
+R_OUT = T_TILE // 128
+
+# VMEM guards for the scratch slabs (bytes)
+_MAX_X2_BYTES = 4 << 20
+_MAX_PLANE_BYTES = 2 << 20
 
 
-def supported(nb: int, n_bits: int) -> bool:
-    return nb <= MAX_NB and n_bits <= 64
+def _statics(nb: int, max_begin: int):
+    kdim = _kdim(nb)
+    rows_needed = R_OUT + (max_begin + kdim + 127) // 128
+    n_blocks = -(-rows_needed // R_OUT)      # input blocks per grid step
+    r_corr = ((T_TILE + max_begin + 127) // 128 + 7) // 8 * 8
+    k128 = -(-kdim // 128)                   # im2col column blocks
+    ov = max_begin // 128 + 2                # overlapped-plane blocks
+    return kdim, n_blocks, r_corr, k128, ov
+
+
+def supported(nb: int, n_bits: int, max_begin: int = 0) -> bool:
+    if nb > MAX_NB or n_bits > 64:
+        return False
+    kdim, n_blocks, r_corr, k128, ov = _statics(nb, max_begin)
+    if r_corr * kdim * 4 > _MAX_X2_BYTES:
+        return False
+    if R_OUT * ov * 128 * 4 > _MAX_PLANE_BYTES:
+        return False
+    return True
 
 
 @functools.lru_cache(maxsize=32)
-def _build(geo_key, n_tiles: int, batch: int, row: int):
+def _build(geo_key, n_tiles: int, batch: int):
     """Compile the fused scorer for a fixed tile count and batch.
 
     geo_key: (basis bytes, nb, magscalar, bit_begin tuple, n_bits,
@@ -57,62 +88,81 @@ def _build(geo_key, n_tiles: int, batch: int, row: int):
 
     (basis_bytes, nb, magscalar, bit_begin, n_bits, req_data,
      req_sync) = geo_key
-    kdim = _kdim(nb)
     max_begin = max(bit_begin)
-    tile_s_len = T_TILE + max_begin
-    rows_t = -(-tile_s_len // 128)
-    s_t = rows_t * 128
-    xs_len = ((s_t - 128 + kdim + 1023) // 1024) * 1024 + 1024
-    assert row >= (n_tiles - 1) * T_TILE + xs_len
+    kdim, n_blocks, r_corr, k128, ov = _statics(nb, max_begin)
 
     eps = np.float32(np.finfo(np.float32).eps)
     scal = np.float32(magscalar)
     n_bits_f = np.float32(n_bits)
 
-    def kernel(w_ref, x_hbm, out_ref, xs, x2, sig_sc, bit_sc, sem):
-        b = pl.program_id(0)
-        i = pl.program_id(1)
-        dma = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(b * row + i * T_TILE, xs_len)], xs, sem)
-        dma.start()
-        dma.wait()
+    def kernel(*refs):
+        w_ref = refs[0]
+        x_refs = refs[1:1 + n_blocks]
+        out_ref = refs[1 + n_blocks]
+        x2_sc = refs[2 + n_blocks]
+        pss = refs[3 + n_blocks]
+        png = refs[4 + n_blocks]
+
+        x_full = jnp.concatenate([r[0] for r in x_refs], axis=0)
 
         # ---- stage 1: banded-matmul correlation (pallas_demod.py) ----
-        for a in range(rows_t):
-            x2[a, :] = xs[a * 128: a * 128 + kdim]
-        prod = jnp.dot(x2[...], w_ref[...],
+        for c in range(k128):
+            w = min(128, kdim - c * 128)
+            x2_sc[:, c * 128:c * 128 + w] = x_full[c:c + r_corr, :w]
+        prod = jnp.dot(x2_sc[...], w_ref[...],
                        preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)  # [rows_t, 512]
-        corr = (prod.reshape(rows_t, 4, 128).transpose(1, 0, 2)
-                .reshape(4, s_t))
+                       precision=jax.lax.Precision.HIGHEST)  # [r_corr, 512]
         # band magnitudes (reference: src/fsk.c:107-114,130-159)
-        mag_mark = jnp.sqrt(corr[0] * corr[0] + corr[1] * corr[1]) * scal
-        mag_space = jnp.sqrt(corr[2] * corr[2] + corr[3] * corr[3]) * scal
-        bit = mag_mark > mag_space                  # fsk.c:161 strict
-        sig = jnp.where(bit, mag_mark, mag_space)
-        noise = jnp.where(bit, mag_space, mag_mark)
-        noise_g = jnp.where(noise > eps, noise, jnp.float32(0.0))
-        sig2 = sig.reshape(1, s_t)
-        noise2 = noise_g.reshape(1, s_t)
-        bit2 = bit.astype(jnp.int32).reshape(1, s_t)
+        mm = jnp.sqrt(prod[:, 0:128] * prod[:, 0:128]
+                      + prod[:, 128:256] * prod[:, 128:256]) * scal
+        ms = jnp.sqrt(prod[:, 256:384] * prod[:, 256:384]
+                      + prod[:, 384:512] * prod[:, 384:512]) * scal
+        bitp = mm > ms                       # fsk.c:161 strict
+        sig = jnp.where(bitp, mm, ms)
+        ss = jnp.where(bitp, sig, -sig)      # sign carries the bit
+        noise = jnp.where(bitp, ms, mm)
+        ng = jnp.where(noise > eps, noise, jnp.float32(0.0))
 
-        # ---- stage 2 pass 1: per-bit slices -> totals ----
-        zf = jnp.zeros((1, T_TILE), jnp.float32)
+        for c in range(ov):
+            pss[:, c * 128:(c + 1) * 128] = ss[c:c + R_OUT, :]
+            png[:, c * 128:(c + 1) * 128] = ng[c:c + R_OUT, :]
+
+        def shift_ss(s0):
+            return pss[:, s0:s0 + 128]
+
+        # ---- pass 1: totals + framing masks + bit packing ----
+        zf = jnp.zeros((R_OUT, 128), jnp.float32)
+        zi = jnp.zeros((R_OUT, 128), jnp.int32)
         total_sig = zf
         total_noise = zf
         mark_sig = zf
-        n_mark_i = jnp.zeros((1, T_TILE), jnp.int32)
+        n_mark_i = zi
+        mism_d = zi
+        mism_s = zi
+        bits_lo = zi
+        bits_hi = zi
         for k in range(n_bits):
             s0 = int(bit_begin[k])
-            sb = sig2[:, s0:s0 + T_TILE]
-            nb_ = noise2[:, s0:s0 + T_TILE]
-            bb = bit2[:, s0:s0 + T_TILE]
-            sig_sc[k, :] = sb[0]
-            bit_sc[k, :] = bb[0]
-            total_sig = total_sig + sb
-            total_noise = total_noise + nb_
-            n_mark_i = n_mark_i + bb
-            mark_sig = mark_sig + jnp.where(bb != 0, sb, 0.0)
+            ssk = shift_ss(s0)
+            ngk = png[:, s0:s0 + 128]
+            sbk = jnp.abs(ssk)
+            bbk = (ssk > 0).astype(jnp.int32)
+            total_sig = total_sig + sbk
+            total_noise = total_noise + ngk
+            n_mark_i = n_mark_i + bbk
+            mark_sig = mark_sig + jnp.maximum(ssk, jnp.float32(0.0))
+            if req_data[k] == 1:
+                mism_d = mism_d + (1 - bbk)
+            elif req_data[k] == 0:
+                mism_d = mism_d + bbk
+            if req_sync[k] == 1:
+                mism_s = mism_s + (1 - bbk)
+            elif req_sync[k] == 0:
+                mism_s = mism_s + bbk
+            if k < 32:
+                bits_lo = bits_lo | (bbk << k)
+            else:
+                bits_hi = bits_hi | (bbk << (k - 32))
 
         n_mark = n_mark_i.astype(jnp.float32)
         n_space = n_bits_f - n_mark
@@ -125,69 +175,53 @@ def _build(geo_key, n_tiles: int, batch: int, row: int):
         # ---- pass 2: divergence (reference CONFIDENCE_ALGO 6) ----
         divergence = zf
         for k in range(n_bits):
-            sb = sig_sc[k, :].reshape(1, T_TILE)
-            bb = bit_sc[k, :].reshape(1, T_TILE)
-            avg_own = jnp.where(bb != 0, avg_mark, avg_space)
-            divergence = divergence + jnp.abs(sb - avg_own) / avg_own
+            ssk = shift_ss(int(bit_begin[k]))
+            sbk = jnp.abs(ssk)
+            avg_own = jnp.where(ssk > 0, avg_mark, avg_space)
+            divergence = divergence + jnp.abs(sbk - avg_own) / avg_own
         divergence = divergence * jnp.float32(2.0) / n_bits_f
         snr = total_sig / total_noise       # IEEE: x/0=inf, 0/0=nan
         conf = snr * (jnp.float32(1.0) - divergence)
         ampl = total_sig / n_bits_f
 
-        # ---- framing masks + bit packing ----
-        ones = jnp.ones((1, T_TILE), jnp.int32)
-        ok_d = ones
-        ok_s = ones
-        bits_lo = jnp.zeros((1, T_TILE), jnp.int32)
-        bits_hi = jnp.zeros((1, T_TILE), jnp.int32)
-        for k in range(n_bits):
-            bb = bit_sc[k, :].reshape(1, T_TILE)
-            if req_data[k] >= 0:
-                ok_d = ok_d & jnp.where(bb == int(req_data[k]), 1, 0)
-            if req_sync[k] >= 0:
-                ok_s = ok_s & jnp.where(bb == int(req_sync[k]), 1, 0)
-            if k < 32:
-                bits_lo = bits_lo | (bb << k)
-            else:
-                bits_hi = bits_hi | (bb << (k - 32))
-
+        ok_d = mism_d == 0
+        ok_s = mism_s == 0
         zero = jnp.float32(0.0)
         u = jax.lax.bitcast_convert_type
-        out_ref[0, 0, :] = u(jnp.where(ok_d != 0, conf, zero),
-                             jnp.uint32)[0]
-        out_ref[0, 1, :] = u(jnp.where(ok_s != 0, conf, zero),
-                             jnp.uint32)[0]
-        out_ref[0, 2, :] = u(jnp.where(ok_d != 0, ampl, zero),
-                             jnp.uint32)[0]
-        out_ref[0, 3, :] = u(jnp.where(ok_s != 0, ampl, zero),
-                             jnp.uint32)[0]
-        out_ref[0, 4, :] = u(bits_lo, jnp.uint32)[0]
-        out_ref[0, 5, :] = u(bits_hi, jnp.uint32)[0]
-        zu = jnp.zeros((T_TILE,), jnp.uint32)
-        out_ref[0, 6, :] = zu
-        out_ref[0, 7, :] = zu
+        out_ref[0, 0] = u(jnp.where(ok_d, conf, zero), jnp.uint32)
+        out_ref[0, 1] = u(jnp.where(ok_s, conf, zero), jnp.uint32)
+        out_ref[0, 2] = u(jnp.where(ok_d, ampl, zero), jnp.uint32)
+        out_ref[0, 3] = u(jnp.where(ok_s, ampl, zero), jnp.uint32)
+        out_ref[0, 4] = u(bits_lo, jnp.uint32)
+        out_ref[0, 5] = u(bits_hi, jnp.uint32)
+        zu = jnp.zeros((R_OUT, 128), jnp.uint32)
+        out_ref[0, 6] = zu
+        out_ref[0, 7] = zu
 
+    in_specs = [pl.BlockSpec((kdim, 512), lambda b, i: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    for j in range(n_blocks):
+        in_specs.append(pl.BlockSpec(
+            (1, R_OUT, 128),
+            functools.partial(lambda b, i, j=0: (b, i + j, 0), j=j),
+            memory_space=pltpu.VMEM))
     fn = pl.pallas_call(
         kernel,
         grid=(batch, n_tiles),
-        in_specs=[
-            pl.BlockSpec((kdim, 512), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),       # banded W
-            pl.BlockSpec(memory_space=pltpu.ANY),        # x [B*row] HBM
-        ],
-        out_specs=pl.BlockSpec((1, 8, T_TILE), lambda b, i: (b, 0, i),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 8, R_OUT, 128),
+                               lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, 8, n_tiles * T_TILE),
+        out_shape=jax.ShapeDtypeStruct((batch, 8, n_tiles * R_OUT, 128),
                                        jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((xs_len,), jnp.float32),
-            pltpu.VMEM((rows_t, kdim), jnp.float32),
-            pltpu.VMEM((n_bits, T_TILE), jnp.float32),
-            pltpu.VMEM((n_bits, T_TILE), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((r_corr, kdim), jnp.float32),      # im2col slab
+            pltpu.VMEM((R_OUT, ov * 128), jnp.float32),   # pss
+            pltpu.VMEM((R_OUT, ov * 128), jnp.float32),   # png
         ],
     )
-    return fn, xs_len
+    n_rows_in = (n_tiles + n_blocks - 1) * R_OUT
+    return fn, n_rows_in, n_blocks
 
 
 @functools.lru_cache(maxsize=32)
@@ -204,24 +238,19 @@ def _make_packer(geo_key, t_total: int):
         np.frombuffer(basis_bytes, np.float32).reshape(4, nb).copy())
     assert t_total % T_TILE == 0, t_total
     n_tiles = t_total // T_TILE
-    kdim = _kdim(nb)
-    max_begin = max(bit_begin)
-    tile_s_len = T_TILE + max_begin
-    rows_t = -(-tile_s_len // 128)
-    s_t = rows_t * 128
-    xs_len = ((s_t - 128 + kdim + 1023) // 1024) * 1024 + 1024
-    row = (n_tiles - 1) * T_TILE + xs_len
 
     def _run(x2d):
         B, L = int(x2d.shape[0]), int(x2d.shape[1])
-        if L < row:
-            x2d = jnp.pad(x2d, ((0, 0), (0, row - L)))
+        fn, n_rows_in, n_blocks = _build(geo_key, n_tiles, B)
+        need = n_rows_in * 128
+        if L < need:
+            x2d = jnp.pad(x2d, ((0, 0), (0, need - L)))
         else:
-            x2d = x2d[:, :row]
-        fn, _ = _build(geo_key, n_tiles, B, row)
+            x2d = x2d[:, :need]
+        x3 = x2d.reshape(B, n_rows_in, 128)
         with jax.enable_x64(False):
-            out = fn(jnp.asarray(w_np), x2d.reshape(B * row))
-        return out
+            out = fn(jnp.asarray(w_np), *([x3] * n_blocks))
+        return out.reshape(B, 8, n_tiles * T_TILE)
 
     def _single(x):
         return _run(x.astype(jnp.float32)[None, :])[0]
@@ -248,7 +277,7 @@ def fused_packer_eligible(geo, t_total: int) -> bool:
         return False
     if geo.use_f64:
         return False
-    if not supported(geo.nb, geo.n_bits):
+    if not supported(geo.nb, geo.n_bits, max(geo.bit_begin)):
         return False
     if t_total % T_TILE != 0:
         return False
