@@ -83,3 +83,21 @@ def test_mega_parity_rate_slop(monkeypatch):
     engine frame-for-frame."""
     w = FskModem("305").modulate(b"rate slop speculation check")
     _mega_vs_device(monkeypatch, FskModem("300"), [w])
+
+
+def test_mega_parity_same_sync(monkeypatch):
+    """SAME mode: do_rx_sync suppresses the 0xAB preamble bytes, so the
+    byte ring advances non-contiguously on both the fast-commit and the
+    per-frame paths."""
+    m = FskModem("same")
+    w = m.modulate(b"ZCZC-WXR-RWT-020103+0030-1051700-KEAX/NWS-")
+    _mega_vs_device(monkeypatch, m, [w])
+
+
+def test_mega_parity_long_stream(monkeypatch):
+    """A >3-row byte payload: the lane-major byte ring must flush
+    multiple completed rows and the final partial row, across several
+    resident-window refills."""
+    m = FskModem("1200")
+    payload = bytes(33 + (i % 94) for i in range(400))
+    _mega_vs_device(monkeypatch, m, [m.modulate(payload)])
