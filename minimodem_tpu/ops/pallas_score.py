@@ -46,37 +46,55 @@ import numpy as np
 
 from .pallas_demod import MAX_NB, _kdim, make_banded_w
 
-T_TILE = 8192
-R_OUT = T_TILE // 128
+# candidate tile sizes, largest first: bigger tiles amortize per-grid-step
+# overheads (measured 199.7 -> 136.1 ms on the 64 x 60 s batch going
+# 8192 -> 32768), smaller ones keep short decodes and big-filter
+# geometries eligible (scratch VMEM scales with the tile)
+T_TILES = (32768, 16384, 8192)
+T_TILE = T_TILES[-1]                  # granularity the score length needs
 
 # VMEM guards for the scratch slabs (bytes)
 _MAX_X2_BYTES = 4 << 20
 _MAX_PLANE_BYTES = 2 << 20
 
 
-def _statics(nb: int, max_begin: int):
+def _statics(nb: int, max_begin: int, t_tile: int):
     kdim = _kdim(nb)
-    rows_needed = R_OUT + (max_begin + kdim + 127) // 128
-    n_blocks = -(-rows_needed // R_OUT)      # input blocks per grid step
-    r_corr = ((T_TILE + max_begin + 127) // 128 + 7) // 8 * 8
+    r_out = t_tile // 128
+    rows_needed = r_out + (max_begin + kdim + 127) // 128
+    n_blocks = -(-rows_needed // r_out)      # input blocks per grid step
+    r_corr = ((t_tile + max_begin + 127) // 128 + 7) // 8 * 8
     k128 = -(-kdim // 128)                   # im2col column blocks
     ov = max_begin // 128 + 2                # overlapped-plane blocks
-    return kdim, n_blocks, r_corr, k128, ov
+    return kdim, r_out, n_blocks, r_corr, k128, ov
 
 
-def supported(nb: int, n_bits: int, max_begin: int = 0) -> bool:
-    if nb > MAX_NB or n_bits > 64:
-        return False
-    kdim, n_blocks, r_corr, k128, ov = _statics(nb, max_begin)
+def _tile_fits(nb: int, max_begin: int, t_tile: int) -> bool:
+    kdim, r_out, n_blocks, r_corr, k128, ov = _statics(nb, max_begin,
+                                                       t_tile)
     if r_corr * kdim * 4 > _MAX_X2_BYTES:
         return False
-    if R_OUT * ov * 128 * 4 > _MAX_PLANE_BYTES:
+    if r_out * ov * 128 * 4 > _MAX_PLANE_BYTES:
         return False
     return True
 
 
+def _pick_tile(nb: int, max_begin: int, t_total: int):
+    for t in T_TILES:
+        if t_total % t == 0 and _tile_fits(nb, max_begin, t):
+            return t
+    return None
+
+
+def supported(nb: int, n_bits: int, max_begin: int = 0,
+              t_total: int = T_TILE) -> bool:
+    if nb > MAX_NB or n_bits > 64:
+        return False
+    return _pick_tile(nb, max_begin, t_total) is not None
+
+
 @functools.lru_cache(maxsize=32)
-def _build(geo_key, n_tiles: int, batch: int):
+def _build(geo_key, n_tiles: int, batch: int, t_tile: int):
     """Compile the fused scorer for a fixed tile count and batch.
 
     geo_key: (basis bytes, nb, magscalar, bit_begin tuple, n_bits,
@@ -89,7 +107,8 @@ def _build(geo_key, n_tiles: int, batch: int):
     (basis_bytes, nb, magscalar, bit_begin, n_bits, req_data,
      req_sync) = geo_key
     max_begin = max(bit_begin)
-    kdim, n_blocks, r_corr, k128, ov = _statics(nb, max_begin)
+    kdim, r_out, n_blocks, r_corr, k128, ov = _statics(nb, max_begin,
+                                                       t_tile)
 
     eps = np.float32(np.finfo(np.float32).eps)
     scal = np.float32(magscalar)
@@ -124,15 +143,15 @@ def _build(geo_key, n_tiles: int, batch: int):
         ng = jnp.where(noise > eps, noise, jnp.float32(0.0))
 
         for c in range(ov):
-            pss[:, c * 128:(c + 1) * 128] = ss[c:c + R_OUT, :]
-            png[:, c * 128:(c + 1) * 128] = ng[c:c + R_OUT, :]
+            pss[:, c * 128:(c + 1) * 128] = ss[c:c + r_out, :]
+            png[:, c * 128:(c + 1) * 128] = ng[c:c + r_out, :]
 
         def shift_ss(s0):
             return pss[:, s0:s0 + 128]
 
         # ---- pass 1: totals + framing masks + bit packing ----
-        zf = jnp.zeros((R_OUT, 128), jnp.float32)
-        zi = jnp.zeros((R_OUT, 128), jnp.int32)
+        zf = jnp.zeros((r_out, 128), jnp.float32)
+        zi = jnp.zeros((r_out, 128), jnp.int32)
         total_sig = zf
         total_noise = zf
         mark_sig = zf
@@ -194,7 +213,7 @@ def _build(geo_key, n_tiles: int, batch: int):
         out_ref[0, 3] = u(jnp.where(ok_s, ampl, zero), jnp.uint32)
         out_ref[0, 4] = u(bits_lo, jnp.uint32)
         out_ref[0, 5] = u(bits_hi, jnp.uint32)
-        zu = jnp.zeros((R_OUT, 128), jnp.uint32)
+        zu = jnp.zeros((r_out, 128), jnp.uint32)
         out_ref[0, 6] = zu
         out_ref[0, 7] = zu
 
@@ -202,25 +221,25 @@ def _build(geo_key, n_tiles: int, batch: int):
                              memory_space=pltpu.VMEM)]
     for j in range(n_blocks):
         in_specs.append(pl.BlockSpec(
-            (1, R_OUT, 128),
+            (1, r_out, 128),
             functools.partial(lambda b, i, j=0: (b, i + j, 0), j=j),
             memory_space=pltpu.VMEM))
     fn = pl.pallas_call(
         kernel,
         grid=(batch, n_tiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 8, R_OUT, 128),
+        out_specs=pl.BlockSpec((1, 8, r_out, 128),
                                lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, 8, n_tiles * R_OUT, 128),
+        out_shape=jax.ShapeDtypeStruct((batch, 8, n_tiles * r_out, 128),
                                        jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((r_corr, kdim), jnp.float32),      # im2col slab
-            pltpu.VMEM((R_OUT, ov * 128), jnp.float32),   # pss
-            pltpu.VMEM((R_OUT, ov * 128), jnp.float32),   # png
+            pltpu.VMEM((r_out, ov * 128), jnp.float32),   # pss
+            pltpu.VMEM((r_out, ov * 128), jnp.float32),   # png
         ],
     )
-    n_rows_in = (n_tiles + n_blocks - 1) * R_OUT
+    n_rows_in = (n_tiles + n_blocks - 1) * r_out
     return fn, n_rows_in, n_blocks
 
 
@@ -236,12 +255,13 @@ def _make_packer(geo_key, t_total: int):
      req_sync) = geo_key
     w_np = make_banded_w(
         np.frombuffer(basis_bytes, np.float32).reshape(4, nb).copy())
-    assert t_total % T_TILE == 0, t_total
-    n_tiles = t_total // T_TILE
+    t_tile = _pick_tile(nb, max(bit_begin), t_total)
+    assert t_tile is not None, (nb, t_total)
+    n_tiles = t_total // t_tile
 
     def _run(x2d):
         B, L = int(x2d.shape[0]), int(x2d.shape[1])
-        fn, n_rows_in, n_blocks = _build(geo_key, n_tiles, B)
+        fn, n_rows_in, n_blocks = _build(geo_key, n_tiles, B, t_tile)
         need = n_rows_in * 128
         if L < need:
             x2d = jnp.pad(x2d, ((0, 0), (0, need - L)))
@@ -250,7 +270,7 @@ def _make_packer(geo_key, t_total: int):
         x3 = x2d.reshape(B, n_rows_in, 128)
         with jax.enable_x64(False):
             out = fn(jnp.asarray(w_np), *([x3] * n_blocks))
-        return out.reshape(B, 8, n_tiles * T_TILE)
+        return out.reshape(B, 8, n_tiles * t_tile)
 
     def _single(x):
         return _run(x.astype(jnp.float32)[None, :])[0]
@@ -277,9 +297,9 @@ def fused_packer_eligible(geo, t_total: int) -> bool:
         return False
     if geo.use_f64:
         return False
-    if not supported(geo.nb, geo.n_bits, max(geo.bit_begin)):
-        return False
     if t_total % T_TILE != 0:
+        return False
+    if not supported(geo.nb, geo.n_bits, max(geo.bit_begin), t_total):
         return False
     from .pallas_demod import backend_supports_pallas
 
