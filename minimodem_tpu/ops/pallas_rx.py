@@ -348,6 +348,27 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
 
             return cur, n_by + jnp.where(emit, 1, 0)
 
+        def decode_word(blo):
+            """Frame bits -> (data byte, keep flag): strip stop/prev +
+            start bits, mask to n_data_bits, optional MSB-first
+            reversal, sync-byte suppression (minimodem.c:1414-1439).
+            Shared by the per-frame path and the fast-commit path so
+            the byte-decode rule cannot diverge between them."""
+            word = jax.lax.shift_right_logical(
+                blo, jnp.int32(nstop_shift + nstartbits)) \
+                & jnp.int32((1 << n_data_bits) - 1)
+            if msb_first:
+                rev = jnp.int32(0)
+                for k in range(n_data_bits):
+                    rev = rev | (((word >> jnp.int32(k)) & jnp.int32(1))
+                                 << jnp.int32(n_data_bits - 1 - k))
+                word = rev
+            if sync_ok:
+                keep = word != jnp.int32(sync_byte)
+            else:
+                keep = jnp.full((), True)
+            return word, keep
+
         def store_event(i, reci8, recf8):
             # scalar bitcasts are not lowerable; blend an i32 lane vector
             # with an f32 lane vector through VECTOR bitcasts (lanes 1,2 =
@@ -479,19 +500,8 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
                     jnp.logical_or(drop_report, acquired), 1, 0)
 
             # data byte (blo carries the frame bits, bit-preserving i32)
-            word = jax.lax.shift_right_logical(
-                blo, jnp.int32(nstop_shift + nstartbits)) \
-                & jnp.int32((1 << n_data_bits) - 1)
-            if msb_first:
-                rev = jnp.int32(0)
-                for k in range(n_data_bits):
-                    rev = rev | (((word >> jnp.int32(k)) & jnp.int32(1))
-                                 << jnp.int32(n_data_bits - 1 - k))
-                word = rev
-            emit_byte = got
-            if sync_ok:
-                emit_byte = jnp.logical_and(
-                    got, word != jnp.int32(sync_byte))
+            word, keep = decode_word(blo)
+            emit_byte = jnp.logical_and(got, keep)
 
             byrow, n_by = byte_append(byrow, n_by, word, gate(emit_byte))
 
@@ -584,10 +594,12 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
                     amin = jnp.minimum(amin, avs[k])
                     amax = jnp.maximum(amax, avs[k])
                 # candidate 0 crosses the search limit at every frame
-                # (early-exit win) and clears the confidence threshold;
-                # NaNs fail the >= and fall back to the full scan
+                # (early-exit win), clears the confidence threshold AND
+                # find_frame's got = best_c > 0 rule (thresholds can be
+                # user-set non-positive); NaNs fail the >= and fall back
                 ok = jnp.logical_and(cmin >= conf_search_limit,
                                      cmin > conf_threshold)
+                ok = jnp.logical_and(ok, cmin > jnp.float32(0.0))
                 # provably no refine rescan: conf >= (running peak)*0.75
                 # with peak_k <= max(entry peak, all chain confs)
                 ok = jnp.logical_and(
@@ -628,22 +640,9 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
                     peak2 = jnp.maximum(peak2, cs[k])
                     conf_tot2 = conf_tot2 + cs[k]
                     ampl_tot2 = ampl_tot2 + avs[k]
-                    word = jax.lax.shift_right_logical(
-                        bvs[k], jnp.int32(nstop_shift + nstartbits)) \
-                        & jnp.int32((1 << n_data_bits) - 1)
-                    if msb_first:
-                        rev = jnp.int32(0)
-                        for j in range(n_data_bits):
-                            rev = rev | (
-                                ((word >> jnp.int32(j)) & jnp.int32(1))
-                                << jnp.int32(n_data_bits - 1 - j))
-                        word = rev
-                    if sync_ok:
-                        emit = word != jnp.int32(sync_byte)
-                    else:
-                        emit = jnp.full((), True)
+                    word, keep = decode_word(bvs[k])
                     byrow2, n_by2 = byte_append(byrow2, n_by2, word,
-                                                emit)
+                                                keep)
                 pos2 = pos + jnp.int32(spec_depth * adv_fast)
                 carrier_ns2 = carrier_ns + jnp.int32(
                     spec_depth * adv_fast)

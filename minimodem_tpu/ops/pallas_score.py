@@ -61,11 +61,15 @@ _MAX_PLANE_BYTES = 2 << 20
 def _statics(nb: int, max_begin: int, t_tile: int):
     kdim = _kdim(nb)
     r_out = t_tile // 128
-    rows_needed = r_out + (max_begin + kdim + 127) // 128
-    n_blocks = -(-rows_needed // r_out)      # input blocks per grid step
-    r_corr = ((t_tile + max_begin + 127) // 128 + 7) // 8 * 8
     k128 = -(-kdim // 128)                   # im2col column blocks
     ov = max_begin // 128 + 2                # overlapped-plane blocks
+    # corr rows must cover both the scored offsets [0, t_tile+max_begin)
+    # and the deepest overlapped-plane copy ss[ov-1 : ov-1+r_out]
+    r_corr = max(-(-(t_tile + max_begin) // 128), (ov - 1) + r_out)
+    r_corr = (r_corr + 7) // 8 * 8
+    # input rows must cover the deepest im2col copy x[k128-1 : k128-1+r_corr]
+    rows_needed = (k128 - 1) + r_corr
+    n_blocks = -(-rows_needed // r_out)      # input blocks per grid step
     return kdim, r_out, n_blocks, r_corr, k128, ov
 
 

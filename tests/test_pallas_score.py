@@ -136,3 +136,38 @@ def test_fused_decode_end_to_end(interp):
                  lambda s: None)
     r.render_events(*events[0])
     assert sink.getvalue() == payload
+
+
+@pytest.mark.parametrize("mode,kwargs", [
+    # nb=797 / max_begin=7965: round-8 slack once pushed the im2col copy
+    # past the concatenated input blocks (trace-time crash)
+    ("60.26", {}),
+    # max_begin=5120 (multiple of 1024): zero round-8 slack once pushed
+    # the overlapped-plane copy one row past the corr rows
+    ("93.75", {}),
+])
+def test_fused_packer_slice_bounds(interp, monkeypatch, mode, kwargs):
+    """Geometries whose static-slice bounds once exceeded the scratch
+    shapes: supported() must only admit what _build can trace, and the
+    traced kernel must agree with the XLA packer."""
+    import jax.numpy as jnp
+
+    from minimodem_tpu.ops import device_rx as D
+    from minimodem_tpu.ops import pallas_score as PS
+
+    m = FskModem(mode, **kwargs)
+    key = D.device_rx_key(m.cfg, "float32")
+    geo = D.geo_from_key(key)
+    t_total = PS.T_TILE
+    if not PS.fused_packer_eligible(geo, t_total):
+        pytest.skip("geometry not fused-eligible")
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(t_total + geo.halo).astype(np.float32)
+    xj = jnp.asarray(x)
+    fused = PS.make_fused_packer(geo, D.make_basis(geo, np.float32),
+                                 t_total)
+    out = np.asarray(fused(xj))            # must trace + run
+    ref = _ref_packed(key, t_total, xj, monkeypatch)
+    np.testing.assert_array_equal(out[4], ref[4])
+    np.testing.assert_array_equal(out[5], ref[5])
