@@ -101,3 +101,15 @@ def test_mega_parity_long_stream(monkeypatch):
     m = FskModem("1200")
     payload = bytes(33 + (i % 94) for i in range(400))
     _mega_vs_device(monkeypatch, m, [m.modulate(payload)])
+
+
+@pytest.mark.parametrize("mode,payload", [
+    ("rtty", b"RTTY QUICK BROWN FOX 123"),      # 45.45 bd, 1.5 stop bits
+    ("tdd", b"TDD CHECK 456"),                  # 45.45 bd, 2 stop bits
+    ("v.21", b"v21 parity text"),               # ITU V.21 300 bd
+])
+def test_mega_parity_fractional_timing(monkeypatch, mode, payload):
+    """Fractional samples-per-bit (45.45 baud) and fractional stop bits
+    must replay identically through the fast-commit chain."""
+    m = FskModem(mode)
+    _mega_vs_device(monkeypatch, m, [m.modulate(payload)])
