@@ -114,6 +114,21 @@ def _set_src(stream, rate, channels, dtype, bits, fmt_tag, remaining):
     stream._data_remaining = remaining
 
 
+def _set_mem_src(stream, vals: np.ndarray, rate: int,
+                 channels: int = 1) -> None:
+    """Decoded-in-memory source (codecs whose wire format can't be
+    streamed by wavfile._read): the full sample array plus the same
+    source fields _set_src establishes."""
+    stream.rate = rate
+    stream.channels = channels
+    stream._mem_buf = vals
+    stream._mem_pos = 0
+    stream._src_dtype = "mem"
+    stream._src_bits = 16
+    stream._src_fmt_tag = _PCM
+    stream._data_remaining = vals.nbytes
+
+
 def _file_size(stream) -> int:
     return os.fstat(stream._fh.fileno()).st_size
 
@@ -161,10 +176,11 @@ class Aiff(_Codec):
         fh.read(4)  # AIFF/AIFC
         comm = None
         compression = b"NONE"
-        while True:
+        ssnd = None                        # (data_pos, data_nbytes)
+        while comm is None or ssnd is None:
             hdr = fh.read(8)
             if len(hdr) < 8:
-                raise RuntimeError(f"{stream.path}: no SSND chunk")
+                break
             cid, csize = struct.unpack(">4sI", hdr)
             if cid == b"COMM":
                 body = fh.read(csize + (csize & 1))
@@ -173,14 +189,19 @@ class Aiff(_Codec):
                 if csize > 18:
                     compression = body[18:22]
             elif cid == b"SSND":
+                # SSND may legally precede COMM: remember the data run
+                # and keep scanning
                 off, _blk = struct.unpack(">II", fh.read(8))
-                fh.seek(off, 1)
-                data_nbytes = csize - 8 - off
-                break
+                ssnd = (fh.tell() + off, csize - 8 - off)
+                fh.seek(csize - 8 + (csize & 1), 1)
             else:
                 fh.seek(csize + (csize & 1), 1)
         if comm is None:
             raise RuntimeError(f"{stream.path}: no COMM chunk")
+        if ssnd is None:
+            raise RuntimeError(f"{stream.path}: no SSND chunk")
+        fh.seek(ssnd[0])
+        data_nbytes = ssnd[1]
         ch, _nframes, bits = comm
         if compression in (b"fl32", b"FL32"):
             _set_src(stream, rate, ch, np.dtype(">f4"), 32, _FLOAT,
@@ -295,10 +316,9 @@ class W64(_Codec):
                            ba, bits)
 
     def header(self, stream, data_nbytes: int) -> bytes:
-        fmt_body = self._fmt_body(stream) + b"\x00" * 8  # pad 16 -> 24|8
-        out = _W64_FMT + struct.pack("<q", 24 + 16) + fmt_body[:16]
-        # fmt body is 16 bytes; the next chunk must start 8-aligned after
-        # size 40 -> already aligned
+        # fmt body is 16 bytes, so the next chunk starts 8-aligned after
+        # size 24 + 16 = 40 with no pad
+        out = _W64_FMT + struct.pack("<q", 24 + 16) + self._fmt_body(stream)
         out += _W64_DATA + struct.pack("<q", 24 + data_nbytes)
         total = 16 + 8 + 16 + len(out) + data_nbytes
         return _W64_RIFF + struct.pack("<q", total) + _W64_WAVE + out
@@ -365,17 +385,18 @@ class Rf64(_Codec):
         bits = 32 if stream.format is SampleFormat.FLOAT else 16
         nframes = data_nbytes // (bits // 8 * stream.channels) \
             if stream.channels else 0
-        ds64 = struct.pack("<qqqI", 0, data_nbytes, nframes, 0)
-        chunks = b"ds64" + struct.pack("<I", len(ds64)) + ds64
-        chunks += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
-        chunks += b"data" + struct.pack("<I", 0xFFFFFFFF)
-        riff_size = 4 + len(chunks) + data_nbytes
-        ds64 = struct.pack("<qqqI", riff_size, data_nbytes, nframes, 0)
-        chunks = b"ds64" + struct.pack("<I", len(ds64)) + ds64
-        chunks += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
-        chunks += b"data" + struct.pack("<I", 0xFFFFFFFF)
+
+        def chunks(riff_size: int) -> bytes:
+            ds64 = struct.pack("<qqqI", riff_size, data_nbytes, nframes,
+                               0)
+            out = b"ds64" + struct.pack("<I", len(ds64)) + ds64
+            out += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            out += b"data" + struct.pack("<I", 0xFFFFFFFF)
+            return out
+
+        riff_size = 4 + len(chunks(0)) + data_nbytes
         return (b"RF64" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
-                + chunks)
+                + chunks(riff_size))
 
     def encode(self, stream, buf: np.ndarray) -> bytes:
         dt = "<f4" if stream.format is SampleFormat.FLOAT else "<i2"
@@ -682,6 +703,11 @@ class Voc(_Codec):
         check = (~version + 0x1234) & 0xFFFF
         out = self._MAGIC + struct.pack("<HHH", 26, version, check)
         bsize = 12 + data_nbytes
+        if bsize > 0xFFFFFF:
+            raise RuntimeError(
+                "VOC block size field is 24-bit; audio exceeds "
+                f"{(0xFFFFFF - 12) // (2 * stream.channels)} frames "
+                "— use a WAV/AU/FLAC container for long recordings")
         out += b"\x09" + struct.pack("<I", bsize)[:3]
         out += struct.pack("<IBBH4x", stream.rate, 16, stream.channels, 4)
         return out
@@ -724,6 +750,10 @@ class Svx(_Codec):
 
     def header(self, stream, data_nbytes: int) -> bytes:
         nframes = data_nbytes // 2
+        if stream.rate > 0xFFFF:
+            raise RuntimeError(
+                f"SVX sample-rate field is 16-bit; {stream.rate} Hz "
+                "does not fit — use a WAV/AU/FLAC container")
         vhdr = struct.pack(">IIIHBBI", nframes, 0, 32, stream.rate,
                            1, 0, 1 << 16)
         body = b"VHDR" + _u32(len(vhdr)) + vhdr
@@ -1074,6 +1104,8 @@ class Mpc2k(_Codec):
     def parse(self, stream) -> None:
         fh = stream._fh
         raw = fh.read(42)
+        if len(raw) < 42:
+            raise RuntimeError(f"{stream.path}: truncated MPC2K header")
         ch = 2 if raw[21] == 1 else 1
         (rate,) = struct.unpack("<H", raw[40:42])
         _set_src(stream, rate, ch, np.dtype("<i2"), 16, _PCM,
@@ -1153,14 +1185,7 @@ class Wve(_Codec):
         pcm = _ALAW_DEC[raw]
         vals = (pcm.astype(np.float32) / np.float32(32768.0)
                 if stream.format is SampleFormat.FLOAT else pcm)
-        stream.rate = 8000
-        stream.channels = 1
-        stream._mem_buf = vals
-        stream._mem_pos = 0
-        stream._src_dtype = "mem"
-        stream._src_bits = 16
-        stream._src_fmt_tag = _PCM
-        stream._data_remaining = vals.nbytes
+        _set_mem_src(stream, vals, 8000)
 
 
 # -------------------------------------------------------------------- SDS
@@ -1181,6 +1206,11 @@ class Sds(_Codec):
         # data_nbytes counts packet wire bytes, not samples — the frame
         # counter tracks the true sample count
         nframes = getattr(stream, "_frames_written", 0)
+        if nframes > 0x1FFFFF:
+            raise RuntimeError(
+                "SDS sample-count field is 21-bit; audio exceeds "
+                "2097151 frames — use a WAV/AU/FLAC container for "
+                "long recordings")
         period = round(1e9 / stream.rate) if stream.rate else 0
         return (b"\xF0\x7E\x00\x01\x00\x00\x10"
                 + self._u21(period) + self._u21(nframes)
@@ -1231,7 +1261,7 @@ class Sds(_Codec):
     def parse(self, stream) -> None:
         fh = stream._fh
         raw = fh.read(21)
-        if raw[3] != 0x01:
+        if len(raw) < 21 or raw[3] != 0x01:
             raise RuntimeError(f"{stream.path}: no SDS dump header")
         fmt_bits = raw[6]
         if fmt_bits not in (14, 15, 16):
@@ -1256,14 +1286,7 @@ class Sds(_Codec):
                else np.zeros(0, np.int16))
         vals = (pcm.astype(np.float32) / np.float32(32768.0)
                 if stream.format is SampleFormat.FLOAT else pcm)
-        stream.rate = rate
-        stream.channels = 1
-        stream._mem_buf = vals
-        stream._mem_pos = 0
-        stream._src_dtype = "mem"
-        stream._src_bits = 16
-        stream._src_fmt_tag = _PCM
-        stream._data_remaining = vals.nbytes
+        _set_mem_src(stream, vals, rate)
 
 
 # --------------------------------------------------------------------- XI
@@ -1329,14 +1352,7 @@ class Xi(_Codec):
         pcm = np.cumsum(raw.astype(np.int64)).astype(np.int16)
         vals = (pcm.astype(np.float32) / np.float32(32768.0)
                 if stream.format is SampleFormat.FLOAT else pcm)
-        stream.rate = 44100
-        stream.channels = 1
-        stream._mem_buf = vals
-        stream._mem_pos = 0
-        stream._src_dtype = "mem"
-        stream._src_bits = 16
-        stream._src_fmt_tag = _PCM
-        stream._data_remaining = vals.nbytes
+        _set_mem_src(stream, vals, 44100)
 
 
 # Sd2 sniffs by extension alone (the data fork is headerless), so it

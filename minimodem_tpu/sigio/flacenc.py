@@ -20,22 +20,43 @@ import numpy as np
 BLOCK = 4096
 
 
+def _make_crc8_table() -> list:
+    out = []
+    for b in range(256):
+        crc = b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
+                else (crc << 1) & 0xFF
+        out.append(crc)
+    return out
+
+
+def _make_crc16_table() -> list:
+    out = []
+    for b in range(256):
+        crc = b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+        out.append(crc)
+    return out
+
+
+_CRC8_T = _make_crc8_table()
+_CRC16_T = _make_crc16_table()
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = _CRC8_T[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
-                else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ _CRC16_T[(crc >> 8) ^ b]
     return crc
 
 
@@ -60,6 +81,22 @@ class _BitWriter:
             self.bits(0, 32)
             q -= 32
         self.bits(1, q + 1)
+
+    def bit_array(self, bits: np.ndarray) -> None:
+        """Append a uint8 0/1 bit array (MSB-first stream order) in bulk
+        via np.packbits — the fast path for rice/verbatim runs."""
+        if self.n:
+            head = np.array(
+                [(self.acc >> (self.n - 1 - i)) & 1
+                 for i in range(self.n)], np.uint8)
+            bits = np.concatenate([head, bits])
+            self.acc = 0
+            self.n = 0
+        nfull = len(bits) // 8 * 8
+        self.buf += np.packbits(bits[:nfull]).tobytes()
+        for b in bits[nfull:]:
+            self.acc = (self.acc << 1) | int(b)
+            self.n += 1
 
     def align(self) -> None:
         if self.n:
@@ -105,13 +142,18 @@ def _best_rice_param(res: np.ndarray) -> int:
 
 
 def _write_rice(bw: _BitWriter, res: np.ndarray, param: int) -> None:
+    """Vectorized: per sample q zeros + '1' + param remainder bits, built
+    as one bit array (q_i zero bits is exactly the unary coding bw.unary
+    emits)."""
     u = ((np.abs(res.astype(np.int64)) << 1) - (res < 0)).astype(np.int64)
-    q = (u >> param).tolist()
-    r = (u & ((1 << param) - 1)).tolist() if param else None
-    for i in range(len(u)):
-        bw.unary(int(q[i]))
-        if param:
-            bw.bits(int(r[i]), param)
+    q = u >> param
+    lens = q + 1 + param
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    bits = np.zeros(int(lens.sum()), np.uint8)
+    bits[starts + q] = 1
+    for b in range(param):
+        bits[starts + q + 1 + b] = (u >> (param - 1 - b)) & 1
+    bw.bit_array(bits)
 
 
 def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
@@ -145,8 +187,9 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int) -> None:
         bw.bits(0, 1)
         bw.bits(1, 6)          # VERBATIM
         bw.bits(0, 1)
-        for v in x.tolist():
-            bw.bits(int(v), bps)
+        shifts = bps - 1 - np.arange(bps)
+        bw.bit_array(((x.astype(np.int64)[:, None] >> shifts) & 1)
+                     .astype(np.uint8).ravel())
         return
 
     _, order, res, param = best
@@ -175,11 +218,11 @@ def encode(samples: np.ndarray, rate: int, channels: int = 1,
 
     # STREAMINFO md5: raw samples, little-endian, bps/8 bytes each
     nbytes = bps // 8
-    raw = np.ascontiguousarray(x.astype("<i4")).tobytes()
+    raw4 = np.ascontiguousarray(x.astype("<i4"))
     md5 = hashlib.md5(
-        b"".join(raw[i * 4: i * 4 + nbytes]
-                 for i in range(nframes * channels))
-        if nbytes != 4 else raw).digest()
+        np.ascontiguousarray(
+            raw4.reshape(-1, 1).view(np.uint8)[:, :nbytes]).tobytes()
+        if nbytes != 4 else raw4.tobytes()).digest()
 
     out = bytearray(b"fLaC")
     si = bytearray()

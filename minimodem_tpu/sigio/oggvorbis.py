@@ -174,6 +174,8 @@ def read_ogg(path: str, want_float: bool):
             while True:
                 n = vf.ov_read_float(ovf, ctypes.byref(pcm), 4096,
                                      ctypes.byref(bitstream))
+                if n == -3:        # OV_HOLE: recoverable gap, keep going
+                    continue
                 if n <= 0:
                     break
                 frame = np.empty((int(n), channels), np.float32)
@@ -187,6 +189,8 @@ def read_ogg(path: str, want_float: bool):
             while True:
                 n = vf.ov_read(ovf, buf, len(buf), 0, 2, 1,
                                ctypes.byref(bitstream))
+                if n == -3:        # OV_HOLE: recoverable gap, keep going
+                    continue
                 if n <= 0:
                     break
                 chunks.append(np.frombuffer(buf.raw[:int(n)],

@@ -216,7 +216,7 @@ class FileStream(Stream):
                 raise RuntimeError(f"{self.path}: no data chunk")
             cid, csize = struct.unpack("<4sI", hdr)
             if cid == b"fmt ":
-                body = self._fh.read(csize)
+                body = self._fh.read(csize + (csize & 1))  # RIFF pad
                 (fmt_tag, nch, rate, _br, _ba, bits) = struct.unpack(
                     "<HHIIHH", body[:16])
                 if fmt_tag == 0xFFFE and csize >= 40:  # WAVE_FORMAT_EXTENSIBLE
