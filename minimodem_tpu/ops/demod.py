@@ -309,6 +309,9 @@ def _build_score_fn(geo: DemodGeometry, t_len: int, platform: Optional[str]):
             "bits_hi": bits_hi,
         }
 
+    if platform is not None:
+        # pin to a specific backend (e.g. "cpu" scoring beside a busy TPU)
+        return jax.jit(score, device=jax.devices(platform)[0])
     return jax.jit(score)
 
 

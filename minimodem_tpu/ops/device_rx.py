@@ -309,11 +309,6 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
         bit_begin=bit_begin, n_bits=n_bits, req_data=req_data,
         req_sync=req_sync, use_f64=use_f64)
 
-    basis_np = make_basis(geo, np.float64 if use_f64 else np.float32)
-    eps = np.float32(np.finfo(np.float32).eps)
-    dtype = jnp.float64 if use_f64 else jnp.float32
-    use_fft = nb > _DIRECT_CONV_MAX_NB
-
     # ---- static search geometry (reference: src/minimodem.c:1236-1251) ----
     data_rate_f = np.uint32(data_rate_bits).view(np.float32)
     nspb = np.float32(np.float32(sample_rate) / data_rate_f)
@@ -419,7 +414,12 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
             c = jnp.where(
                 jnp.logical_or(~valid, jnp.isnan(c)), jnp.float32(-1.0), c)
             prefix_max = jax.lax.associative_scan(jnp.maximum, c, axis=1)
-            crossed = prefix_max >= limit
+            # the sequential scan only checks the limit after a STRICT
+            # improvement over best_c = 0 (fsk.c:505-516), so a
+            # non-positive limit must not cross on c <= 0 candidates
+            # (expect-mask zeros / the -1 NaN sentinel)
+            crossed = jnp.logical_and(prefix_max >= limit,
+                                      prefix_max > jnp.float32(0.0))
             any_cross = jnp.any(crossed, axis=1)
             k_stop = jnp.where(any_cross,
                                jnp.argmax(crossed, axis=1).astype(jnp.int32),

@@ -290,7 +290,10 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
             prefix = jnp.max(
                 jnp.where(tri, c[None, :], neg_inf), axis=1
             ).astype(jnp.float32)
-            crossed = prefix >= limit
+            # strict-improvement rule: a non-positive limit must not
+            # cross on c <= 0 candidates (see device_rx.find_frame)
+            crossed = jnp.logical_and(prefix >= limit,
+                                      prefix > jnp.float32(0.0))
             # the prefix-max at the FIRST crossing is the smallest prefix
             # value among crossed positions (prefix is nondecreasing).
             # (any() via an int32 sum: mosaic's reduce_or proxy creates

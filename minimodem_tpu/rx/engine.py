@@ -184,98 +184,25 @@ class Receiver:
 
     # ------------------------------------------------------------------
     def _run_device_autodetect(self, samples: np.ndarray) -> int:
-        """-a on the device engine.
+        """-a: carrier autodetect decodes on the host state machine.
 
-        The reference detects the carrier at most once per run
-        (carrier_band is sticky, src/minimodem.c:1180-1181) and decodes
-        nothing before detection, so the decision-exact split is: replay
-        the pre-carrier scan (window advance + per-bit-chunk FFT argmax,
-        src/minimodem.c:1144-1220) on host over the stream prefix, then
-        run the device receiver from the detection point with the
-        retuned basis.
+        The reference re-arms detection on EVERY noconfidence overflow
+        (src/minimodem.c:1295-1297 resets carrier_band regardless of
+        carrier state), and the positions its detection FFTs probe after
+        a re-arm depend on the sliding samplebuf's refill/advance phase
+        (:1144-1177) carried through the preceding decode.  A device-
+        resident decode does not model the samplebuf, so a re-detection
+        scan restarted at the drop position probes a different 80-sample
+        chunk grid — measured on a two-burst stream, the phase offset
+        can keep every coarse candidate ~20 samples off the frame grid
+        and never re-acquire.  Decision-exact -a therefore runs the host
+        replay end-to-end; its frame scoring is still the batched device
+        scorer (ScoreProvider), so only the per-frame state machine and
+        the cheap one-bit detection FFTs run in python.
         """
-        import copy
-
         if samples.dtype == np.int16:
-            fsamples = samples.astype(np.float32) / np.float32(32768.0)
-        else:
-            fsamples = np.asarray(samples, np.float32)
-        found = self._autodetect_scan(fsamples)
-        if found is None:
-            return 0                       # never acquired: no output
-        b_mark, b_space, start = found
-        cfg2 = copy.copy(self.cfg)
-        cfg2.set_tones_by_bandshift(b_mark, b_space - b_mark)
-        sub = Receiver(cfg2, self.opts, self.codec,
-                       self.write_out, self.write_err)
-        rc = sub._run_device(samples[start:])
-        self.stats = sub.stats
-        return rc
-
-    def _autodetect_scan(self, samples: np.ndarray):
-        """Replay of the reference's pre-detection loop
-        (src/minimodem.c:1144-1220): sliding samplebuf advance/refill,
-        one FFT argmax per bit-sized chunk, band-shift derivation and
-        out-of-range rejection.  Returns (b_mark, b_space,
-        absolute_decode_start) or None."""
-        cfg = self.cfg
-        opts = self.opts
-        total = len(samples)
-        nbits = 1 + cfg.nstartbits + cfg.n_data_bits + 1
-        samplebuf_size = int(
-            np.ceil(np.float32(cfg.nsamples_per_bit))) * (nbits + 1)
-        samplebuf_size *= 2
-        if samplebuf_size < cfg.sample_rate // 12:
-            samplebuf_size = cfg.sample_rate // 12
-        nspb = cfg.nsamples_per_bit
-
-        pos = 0
-        nvalid = 0
-        advance = 0
-        while True:
-            if advance == samplebuf_size:
-                nvalid = 0
-                advance = 0
-            if advance:
-                if advance > nvalid:
-                    return None
-                pos += advance
-                nvalid -= advance
-                advance = 0
-            if nvalid < samplebuf_size // 2:
-                r = min(samplebuf_size // 2, max(0, total - (pos + nvalid)))
-                nvalid += r
-            if nvalid == 0:
-                return None
-
-            nscan_f = nspb if float(nspb) <= cfg.fftsize else f32(cfg.fftsize)
-            nscan = trunc_i(nscan_f)
-            i = 0
-            band = -1
-            while np.float32(i) + nscan_f <= np.float32(nvalid):
-                band = detect_carrier_band(
-                    samples[pos + i: pos + i + nscan], nscan, cfg.fftsize,
-                    opts.carrier_autodetect_threshold)
-                if band >= 0:
-                    break
-                i = trunc_i(np.float32(i) + nscan_f)
-            advance = trunc_i(np.float32(i) + nscan_f)
-            if advance > nvalid:
-                advance = nvalid
-            if band < 0:
-                continue
-            b_shift = -trunc_i(f32_div(
-                f32_add(cfg.autodetect_shift, f32_div(cfg.band_width, 2.0)),
-                cfg.band_width))
-            if cfg.inverted_freqs:
-                b_shift *= -1
-            b_space = band + b_shift
-            if b_space < 1 or b_space >= cfg.nbands:
-                continue                   # reject; keep scanning
-            # decode resumes at the current window origin (the pending
-            # autodetect advance is overwritten by the frame search,
-            # reference: src/minimodem.c:1296,1407)
-            return band, b_space, pos
+            samples = samples.astype(np.float32) / np.float32(32768.0)
+        return self._run_host(samples)
 
     # ------------------------------------------------------------------
     def _run_host_native(self, samples: np.ndarray) -> int:
@@ -286,6 +213,11 @@ class Receiver:
 
         lib = native.load()
         if lib is None:
+            return self._run_host(samples)
+        if self.opts.carrier_autodetect_threshold > 0.0:
+            # -a retunes the basis mid-stream; the C++ state machine
+            # consumes pre-scored arrays, so autodetect runs run on the
+            # python host engine (same decisions, scan included)
             return self._run_host(samples)
 
         cfg = self.cfg
@@ -342,15 +274,26 @@ class Receiver:
         return self.render_events(ev_type[:n], ev_pay[:n])
 
     # ------------------------------------------------------------------
-    def _render_carrier_line(self) -> None:
+    def _render_carrier_line(self, b_mark=None) -> None:
+        """### CARRIER line (reference: src/minimodem.c:1336-1348);
+        b_mark overrides the configured band after -a retuning."""
         cfg = self.cfg
-        freq = float(f32_mul(cfg.b_mark, cfg.band_width))
+        freq = float(f32_mul(cfg.b_mark if b_mark is None else b_mark,
+                             cfg.band_width))
         if float(cfg.data_rate) >= 100:
             self.write_err("### CARRIER %u @ %.1f Hz ###\n"
                            % (round_half_up_i(cfg.data_rate), freq))
         else:
             self.write_err("### CARRIER %.2f @ %.1f Hz ###\n"
                            % (float(cfg.data_rate), freq))
+
+    @staticmethod
+    def _printable(data: bytes) -> bytes:
+        """--print-filter byte mapping (reference: src/minimodem.c:
+        1451-1459): printable ASCII and whitespace pass, the rest
+        become '.'."""
+        return bytes(c if (32 <= c < 127 or c in (9, 10, 11, 12, 13))
+                     else ord(".") for c in data)
 
     def _flush_bytes(self, arr) -> None:
         """Run decoded data bytes through the codec + output filter."""
@@ -367,9 +310,7 @@ class Receiver:
             if not data:
                 continue
             if opts.print_filter:
-                data = bytes(
-                    c if (32 <= c < 127 or c in (9, 10, 11, 12, 13, 32))
-                    else ord(".") for c in data)
+                data = self._printable(data)
             self.write_out(data)
 
     def render_events(self, ev_type, ev_pay, byte_stream=None) -> int:
@@ -408,13 +349,7 @@ class Receiver:
             pay = ev_pay[k]
             if et == EV_CARRIER:
                 if not opts.quiet:
-                    freq = float(f32_mul(cfg.b_mark, cfg.band_width))
-                    if float(cfg.data_rate) >= 100:
-                        self.write_err("### CARRIER %u @ %.1f Hz ###\n"
-                                       % (round_half_up_i(cfg.data_rate), freq))
-                    else:
-                        self.write_err("### CARRIER %.2f @ %.1f Hz ###\n"
-                                       % (float(cfg.data_rate), freq))
+                    self._render_carrier_line()
                 self.codec.reset()
             elif et == EV_FRAME:
                 bits = int(pay[0]) | (int(pay[1]) << 32)
@@ -597,17 +532,9 @@ class Receiver:
                 else:
                     # acquired carrier (reference: :1332-1355)
                     if not opts.quiet:
-                        b_mark_now = (self._tuned_b_mark
-                                      if carrier_band >= 0 else cfg.b_mark)
-                        freq = float(f32_mul(b_mark_now, cfg.band_width))
-                        if float(cfg.data_rate) >= 100:
-                            self.write_err(
-                                "### CARRIER %u @ %.1f Hz ###\n"
-                                % (round_half_up_i(cfg.data_rate), freq))
-                        else:
-                            self.write_err(
-                                "### CARRIER %.2f @ %.1f Hz ###\n"
-                                % (float(cfg.data_rate), freq))
+                        self._render_carrier_line(
+                            self._tuned_b_mark if carrier_band >= 0
+                            else None)
                     carrier = True
                     self.codec.reset()
                     do_refine_frame = True
@@ -650,9 +577,7 @@ class Receiver:
                 if not data:
                     continue
                 if opts.print_filter:
-                    data = bytes(
-                        b if (32 <= b < 127 or b in (9, 10, 11, 12, 13, 32))
-                        else ord(".") for b in data)
+                    data = self._printable(data)
                 self.write_out(data)
         except KeyboardInterrupt:
             pass

@@ -43,8 +43,8 @@ def test_auto_carrier_deterministic_integer_ratio(tmp_wav):
     M=1200 S=2400) put the mark tone exactly on a detection-FFT bin, so
     the band argmax cannot leak and the detected carrier frequency and
     decode are pinned (exceeds the reference's own suite, which ships no
-    -a test).  Runs on the device engine (host scan + retuned device
-    decode, rx/engine.py:_run_device_autodetect)."""
+    -a test).  -a decodes on the host replay regardless of engine (see
+    rx/engine.py:_run_device_autodetect)."""
     text = b"DETERMINISTIC AUTODETECT 42\n"
     wav = tmp_wav()
     code, _, err = run_cli(
@@ -201,3 +201,58 @@ def test_uic_decode(tmp_wav):
     assert code == 0, err
     assert b"Train ID: 201907 - Message: 09 (Train staff wish to comm.)" \
         in out, (out, err)
+
+
+def test_auto_carrier_rearm_engine_parity():
+    """-a re-arms detection after carrier loss (the reference resets
+    carrier_band on every noconfidence overflow, src/minimodem.c:
+    1295-1297): two bursts at different mark tones separated by silence
+    must decode on every engine routing, including the retune to the
+    second band.  (Device-engine -a delegates to the host replay: the
+    post-drop detection chunk phase depends on samplebuf state a
+    device-resident decode does not model — see
+    rx/engine.py:_run_device_autodetect.)"""
+    import io
+
+    import numpy as np
+
+    from minimodem_tpu.codecs import get_codec
+    from minimodem_tpu.config import RxOptions
+    from minimodem_tpu.models.presets import bell_like
+    from minimodem_tpu.rx.engine import Receiver
+    from minimodem_tpu.utils.cfloat import f32
+
+    def burst(mark, space, text):
+        from minimodem_tpu.models.modem import FskModem
+
+        m = FskModem("300", sample_rate=24000)
+        m.preset = bell_like(300, 24000, mark_f=f32(mark),
+                             space_f=f32(space))
+        m.cfg = m.preset.cfg
+        return m.modulate(text)
+
+    w1 = burst(1200, 2400, b"FIRST BURST")
+    w2 = burst(1800, 3000, b"SECOND BURST")
+    gap = np.zeros(24000, np.float32)       # 1 s: forces a carrier drop
+    stream = np.concatenate([w1, gap, w2]).astype(np.float32)
+
+    rx_cfg = bell_like(300, 24000).cfg
+    opts = RxOptions(carrier_autodetect_threshold=0.001)
+
+    outs = {}
+    for engine in ("host", "device"):
+        out, err = io.BytesIO(), io.StringIO()
+        rx = Receiver(rx_cfg, opts, get_codec("ascii8"),
+                      out.write, err.write)
+        rx.run(stream.copy(), engine=engine)
+        outs[engine] = (out.getvalue(), err.getvalue())
+
+    assert outs["device"][0] == outs["host"][0] == b"FIRST BURSTSECOND BURST"
+    # two carrier sessions on both routings, second at the retuned band
+    for engine in ("host", "device"):
+        err = outs[engine][1]
+        assert err.count("### CARRIER") == 2, (engine, err)
+        assert "@ 1200.0 Hz" in err and "@ 1800.0 Hz" in err, (engine, err)
+        assert err.count("NOCARRIER") == 2, (engine, err)
+    assert outs["device"][1] == outs["host"][1], (
+        outs["device"][1], outs["host"][1])
