@@ -111,6 +111,25 @@ def _atoi(s: str) -> int:
     return int(m.group(0)) if m else 0
 
 
+def _strtol0(s: str) -> int:
+    """C strtol(s, NULL, 0): leading hex/octal/decimal prefix parse,
+    0 on garbage (reference parses --sync-byte this way,
+    src/minimodem.c:700-702)."""
+    import re
+    m = re.match(r"[ \t]*([+-]?)(0[xX][0-9a-fA-F]+|0[0-7]*|[1-9]\d*)", s)
+    if not m:
+        return 0
+    sign = -1 if m.group(1) == "-" else 1
+    tok = m.group(2)
+    if tok[:2].lower() == "0x":
+        v = int(tok, 16)
+    elif tok.startswith("0") and len(tok) > 1:
+        v = int(tok, 8)
+    else:
+        v = int(tok, 10)
+    return sign * v
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     try:
@@ -221,7 +240,7 @@ def main(argv=None) -> int:
         elif opt == "--sync-byte":
             do_rx_sync = True
             do_tx_sync_bytes = 16
-            sync_byte = int(val, 0)
+            sync_byte = _strtol0(val)
         elif opt in ("-q", "--quiet"):
             quiet_mode = True
         elif opt in ("-R", "--samplerate"):
@@ -486,7 +505,8 @@ def main(argv=None) -> int:
     # ============== RX ==============
     if filename is None:
         return _rx_live(cfg, rx_opts, decoder_name, usos, sa_backend,
-                        sa_device, sample_rate, nchannels)
+                        sa_device, sample_rate, nchannels,
+                        rxnoise_factor)
     try:
         stream = open_stream("file", None, Direction.RECORD, sample_fmt,
                              sample_rate, nchannels, "minimodem-tpu", filename)
@@ -555,7 +575,7 @@ def main(argv=None) -> int:
 
 
 def _rx_live(cfg, rx_opts, decoder_name, usos, sa_backend, sa_device,
-             sample_rate, nchannels) -> int:
+             sample_rate, nchannels, rxnoise_factor: float = 0.0) -> int:
     """Live RX from a system audio capture stream: half-second reads feed
     the streaming device receiver; SIGINT stops cleanly with final stats
     (reference: src/minimodem.c:368-374, 1135-1174)."""
@@ -569,6 +589,10 @@ def _rx_live(cfg, rx_opts, decoder_name, usos, sa_backend, sa_device,
     except (OSError, RuntimeError) as e:
         sys.stderr.write(f"audio: {e}\n")
         return 1
+    if rxnoise_factor != 0.0:
+        # the reference sets rxnoise on the RX stream whether file or
+        # live (src/minimodem.c:1031-1032)
+        stream.set_rxnoise(rxnoise_factor)
     try:
         cfg.finalize()
     except ConfigError as e:

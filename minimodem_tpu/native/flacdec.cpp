@@ -153,6 +153,7 @@ bool decode_subframe(BitReader& br, int blocksize, int bps, int32_t* out) {
         for (int i = 0; i < blocksize; i++) out[i] = br.sbits(bps);
     } else if ((type & 0x38) == 0x08 && (type & 0x07) <= 4) {  // FIXED
         int order = type & 0x07;
+        if (order > blocksize) return false;  // crafted input: warmup OOB
         for (int i = 0; i < order; i++) out[i] = br.sbits(bps);
         if (!read_residual(br, blocksize, order, out)) return false;
         // fixed predictors (FLAC spec section on FIXED subframes)
@@ -177,6 +178,7 @@ bool decode_subframe(BitReader& br, int blocksize, int bps, int32_t* out) {
         }
     } else if (type & 0x20) {                // LPC
         int order = (type & 0x1F) + 1;
+        if (order > blocksize) return false;  // crafted input: warmup OOB
         for (int i = 0; i < order; i++) out[i] = br.sbits(bps);
         int precision = br.bits(4) + 1;
         if (precision > 15 + 1) return false;

@@ -110,6 +110,7 @@ int mm_wav_read_info(const char* path, int* rate, int* channels, int* fmt,
         ChunkHdr ch;
         if (std::fread(&ch, sizeof(ch), 1, f) != 1) break;
         if (!std::memcmp(ch.id, "fmt ", 4)) {
+            if (ch.size < 16) break;          // truncated fmt chunk
             std::vector<uint8_t> body(ch.size);
             if (std::fread(body.data(), 1, ch.size, f) != ch.size) break;
             std::memcpy(&tag, body.data() + 0, 2);
@@ -140,7 +141,9 @@ int mm_wav_read_info(const char* path, int* rate, int* channels, int* fmt,
         *fmt = 2;
     else
         return -1;
-    *nframes = data_sz / (nch * bits / 8);
+    long long bytes_per_frame = (long long)nch * bits / 8;
+    if (bytes_per_frame <= 0) return -1;      // e.g. PCM with bits < 8
+    *nframes = data_sz / bytes_per_frame;
     *data_offset = data_off;
     return 0;
 }

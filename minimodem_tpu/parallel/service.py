@@ -162,8 +162,11 @@ class ShardedReceiver:
         }
 
     def decode_batch(self, streams, conf_threshold: float = 1.5,
-                     conf_search_limit: float = 2.3):
-        """Decode a list of 1-D sample arrays -> (list of bytes, stats)."""
+                     conf_search_limit: float = 2.3,
+                     codec: str = None):
+        """Decode a list of 1-D sample arrays -> (list of bytes, stats).
+        codec: databits codec name (codecs.get_codec); defaults to ascii
+        for byte-sized words, raw bit lines otherwise."""
         from ..codecs import get_codec
         from ..config import RxOptions
         from ..rx.engine import Receiver
@@ -177,7 +180,12 @@ class ShardedReceiver:
         events, stats = self.run_events_batch(
             x, [len(s) for s in streams], conf_threshold,
             conf_search_limit)
-        decoder = "ascii8" if self.cfg.n_data_bits == 8 else "binary"
+        # Ascii8Codec handles any word <= 8 bits (7-bit ascii included);
+        # 5-bit words are Baudot in every shipped mode (rtty/tdd)
+        if codec is None:
+            codec = ("baudot" if self.cfg.n_data_bits == 5 else
+                     "ascii8" if self.cfg.n_data_bits <= 8 else "binary")
+        decoder = codec
         outs = []
         for ev in events:
             sink = io.BytesIO()

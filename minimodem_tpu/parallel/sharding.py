@@ -66,6 +66,11 @@ def sharded_score_fn(cfg: ModemConfig, mesh: Mesh, t_local: int,
     """
     geo = geometry_from_config(cfg, precision)
     halo = geo.halo
+    if halo > t_local:
+        raise ValueError(
+            f"halo ({halo}) exceeds the per-shard length t_local "
+            f"({t_local}): the single-neighbor halo exchange cannot "
+            "serve this geometry — increase t_local")
     score = _build_score_fn(geo, t_local, None)
     sp_size = mesh.shape["sp"]
 
@@ -112,20 +117,43 @@ def sharded_score_fn(cfg: ModemConfig, mesh: Mesh, t_local: int,
     return jax.jit(fn)
 
 
+_SCORE_FN_CACHE: dict = {}
+
+
+def _cached_sharded_score_fn(cfg: ModemConfig, mesh: Mesh, t_local: int,
+                             precision: str):
+    """Per-(geometry, mesh, shard length) cache: TPU compiles here go
+    through a remote service (minutes cold), so looping decode steps
+    must not rebuild the shard_map program each call."""
+    from ..ops.device_rx import device_rx_key
+
+    key = (device_rx_key(cfg, precision), mesh, t_local)
+    fn = _SCORE_FN_CACHE.get(key)
+    if fn is None:
+        fn = sharded_score_fn(cfg, mesh, t_local, precision)
+        _SCORE_FN_CACHE[key] = fn
+    return fn
+
+
 def sharded_decode_step(cfg: ModemConfig, mesh: Mesh, samples: np.ndarray,
                         t_local: int = 1 << 12, precision: str = "auto"):
     """One full sharded decode scoring step over a batch of audio streams.
 
-    samples: [B, L] float32.  L is padded up to sp * t_local (+ the halo is
-    taken from padding).  Returns host numpy arrays.
+    samples: [B, L] float32 with L <= sp * t_local (padded up; the halo
+    is taken from padding).  Longer streams must be segmented by the
+    caller — silent truncation would read as full coverage.  Returns
+    host numpy arrays.
     """
     sp = mesh.shape["sp"]
-    geo = geometry_from_config(cfg, precision)
     want = sp * t_local
     b, L = samples.shape
+    if L > want:
+        raise ValueError(
+            f"stream length {L} exceeds the sharded window sp*t_local "
+            f"= {want}; segment the input or raise t_local")
     x = np.zeros((b, want), np.float32)
-    x[:, :min(L, want)] = samples[:, :min(L, want)]
-    fn = sharded_score_fn(cfg, mesh, t_local, precision)
+    x[:, :L] = samples
+    fn = _cached_sharded_score_fn(cfg, mesh, t_local, precision)
     xs = jax.device_put(
         x, NamedSharding(mesh, P("dp", "sp")))
     out = fn(xs)

@@ -216,6 +216,9 @@ class FileStream(Stream):
                 raise RuntimeError(f"{self.path}: no data chunk")
             cid, csize = struct.unpack("<4sI", hdr)
             if cid == b"fmt ":
+                if csize < 16:
+                    raise RuntimeError(
+                        f"{self.path}: truncated fmt chunk ({csize} B)")
                 body = self._fh.read(csize + (csize & 1))  # RIFF pad
                 (fmt_tag, nch, rate, _br, _ba, bits) = struct.unpack(
                     "<HHIIHH", body[:16])
@@ -291,12 +294,21 @@ class FileStream(Stream):
         self._src_bits = bits.value
         self._src_fmt_tag = _WAVE_FORMAT_PCM
         total = int(nfr.value)
-        buf = np.zeros(max(total, 1) * self.channels, np.int32)
-        got = lib.mm_flac_read(
-            self.path.encode(),
-            buf.ctypes.data_as(ctypes.c_void_p), total)
-        if got < 0:
-            raise RuntimeError(f"{self.path}: FLAC decode failed")
+        if total == 0:
+            # STREAMINFO total-samples 0 = unknown (streaming encoders):
+            # decode with a growing capacity until a call comes back
+            # short of the buffer
+            total = max(os.fstat(self._fh.fileno()).st_size, 1 << 16)
+        while True:
+            buf = np.zeros(max(total, 1) * self.channels, np.int32)
+            got = lib.mm_flac_read(
+                self.path.encode(),
+                buf.ctypes.data_as(ctypes.c_void_p), total)
+            if got < 0:
+                raise RuntimeError(f"{self.path}: FLAC decode failed")
+            if got < total or int(nfr.value) > 0:
+                break
+            total *= 4
         self._flac_buf = buf[: int(got) * self.channels]
         self._flac_pos = 0
         self._src_dtype = "flac"

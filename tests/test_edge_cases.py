@@ -54,3 +54,48 @@ def test_single_char(tmp_path):
     code, out, err = run_cli(["--rx", "--file", wav, "1200"])
     assert code == 0
     assert out == b"A", err
+
+
+def test_sync_byte_garbage_strtol(tmp_wav):
+    """--sync-byte with non-numeric text follows C strtol: parses as 0
+    instead of crashing (reference: src/minimodem.c:700-702)."""
+    from .helpers import run_cli
+
+    wav = tmp_wav()
+    code, _, err = run_cli(
+        ["--tx", "--sync-byte", "zz", "--file", wav, "1200"], b"hi")
+    assert code == 0, err
+    code, out, err = run_cli(
+        ["--rx", "--sync-byte", "zz", "--file", wav, "1200"])
+    assert code == 0, err
+    assert out == b"hi", (out, err)
+
+
+def test_truncated_fmt_chunk_clean_error(tmp_path):
+    """A WAV with an 8-byte fmt chunk must fail cleanly, not over-read."""
+    import struct
+
+    from .helpers import run_cli
+
+    p = tmp_path / "trunc.wav"
+    fmt8 = struct.pack("<HHI", 1, 1, 48000)
+    body = b"fmt " + struct.pack("<I", 8) + fmt8
+    riff = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    p.write_bytes(riff)
+    code, out, err = run_cli(["--rx", "--file", str(p), "1200"])
+    assert code == 1
+    assert out == b""
+    assert "Traceback" not in err, err
+
+
+def test_sharded_halo_guard():
+    """halo > t_local must be a clear error, not an XLA shape crash."""
+    import pytest as _pytest
+
+    from minimodem_tpu.models.modem import FskModem
+    from minimodem_tpu.parallel.sharding import make_mesh, sharded_score_fn
+
+    m = FskModem("rtty")           # halo ~ 9k at 48 kHz
+    mesh = make_mesh()
+    with _pytest.raises(ValueError, match="halo"):
+        sharded_score_fn(m.cfg, mesh, 1 << 12)
