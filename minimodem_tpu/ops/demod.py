@@ -199,6 +199,105 @@ def _correlate_fft(x, basis, s_len: int):
 # pass 1 + 2 combined, jitted per (geometry, chunk length)
 # ======================================================================
 
+def correlate_any(x, geo: DemodGeometry, basis_np: np.ndarray,
+                  s_len: int):
+    """Stage 1: 4-basis sliding correlation by the best available route
+    (Pallas MXU kernel / FFT overlap / direct conv)."""
+    if _pallas_eligible(geo):
+        from .pallas_demod import correlate_pallas
+        return correlate_pallas(x, basis_np, s_len)
+    basis = jnp.asarray(basis_np)
+    if geo.nb > _DIRECT_CONV_MAX_NB:
+        return _correlate_fft(x, basis, s_len)
+    return _correlate_direct(x, basis, s_len)
+
+
+def score_frame_channels(corr, geo: DemodGeometry, t_len: int, dtype):
+    """Stages 1b+2: band magnitudes -> per-offset frame channels.
+
+    THE one implementation of the parity-critical frame-analysis math
+    (reference: src/fsk.c:107-174 bit analysis, :178-446 frame analysis
+    / CONFIDENCE_ALGO 6), shared by the chunked host scorer and the
+    device score packer.  (ops/pallas_score.py is the VMEM-resident
+    re-derivation of the same formulas; tests pin it bit-identical.)
+    Returns the dict of six [t_len] channels.
+    """
+    eps = np.float32(F32_EPSILON)
+    # band magnitudes (reference: src/fsk.c:107-114,130-159)
+    scal = jnp.asarray(geo.magscalar, dtype)
+    mag_mark = (jnp.hypot(corr[0], corr[1]) * scal).astype(jnp.float32)
+    mag_space = (jnp.hypot(corr[2], corr[3]) * scal).astype(jnp.float32)
+
+    bit = mag_mark > mag_space                       # fsk.c:161 strict
+    sig = jnp.where(bit, mag_mark, mag_space)
+    noise = jnp.where(bit, mag_space, mag_mark)
+    noise_gated = jnp.where(noise > eps, noise, jnp.float32(0.0))
+
+    # ---- pass 2: shifted-slice frame analysis ----
+    def sl(arr, b):
+        off = int(geo.bit_begin[b])
+        return jax.lax.dynamic_slice_in_dim(arr, off, t_len)
+
+    bits_f = jnp.stack([sl(bit, b) for b in range(geo.n_bits)])
+    sigs = jnp.stack([sl(sig, b) for b in range(geo.n_bits)])
+    noises = jnp.stack([sl(noise_gated, b) for b in range(geo.n_bits)])
+
+    bits_i = bits_f.astype(jnp.uint32)
+    total_sig = jnp.sum(sigs, axis=0)
+    total_noise = jnp.sum(noises, axis=0)
+    n_mark = jnp.sum(bits_i, axis=0).astype(jnp.float32)
+    n_space = jnp.float32(geo.n_bits) - n_mark
+    mark_sig = jnp.sum(jnp.where(bits_f, sigs, 0.0), axis=0)
+    space_sig = total_sig - mark_sig
+    # averages guarded like C (division skipped when count==0,
+    # reference: src/fsk.c:298-301); a zero average only feeds
+    # divergence terms for bits of that polarity, which then can't occur
+    avg_mark = jnp.where(n_mark > 0, mark_sig / n_mark, jnp.float32(0.0))
+    avg_space = jnp.where(n_space > 0, space_sig / n_space,
+                          jnp.float32(0.0))
+
+    avg_own = jnp.where(bits_f, avg_mark[None, :], avg_space[None, :])
+    divergence = jnp.sum(jnp.abs(sigs - avg_own) / avg_own, axis=0)
+    divergence = divergence * jnp.float32(2.0) / jnp.float32(geo.n_bits)
+
+    snr = total_sig / total_noise            # IEEE: x/0 = inf, 0/0 = nan
+    conf = snr * (jnp.float32(1.0) - divergence)
+    ampl = total_sig / jnp.float32(geo.n_bits)
+
+    def mask_for(req):
+        ok = jnp.ones((t_len,), bool)
+        for b in range(geo.n_bits):
+            r = int(req[b])
+            if r >= 0:
+                ok = ok & (bits_f[b] == bool(r))
+        return ok
+
+    ok_data = mask_for(geo.req_data)
+    ok_sync = mask_for(geo.req_sync)
+    zero = jnp.float32(0.0)
+    # when the frame is rejected the reference leaves ampl at 0
+    # (reference: src/fsk.c:211-212, minimodem.c:1253 init)
+    out = {
+        "conf_data": jnp.where(ok_data, conf, zero),
+        "conf_sync": jnp.where(ok_sync, conf, zero),
+        "ampl_data": jnp.where(ok_data, ampl, zero),
+        "ampl_sync": jnp.where(ok_sync, ampl, zero),
+    }
+
+    # pack frame bits LSB-first (reference: src/fsk.c:439-441)
+    weights_lo = jnp.asarray(
+        [np.uint32(1 << b) if b < 32 else np.uint32(0)
+         for b in range(geo.n_bits)], jnp.uint32)
+    weights_hi = jnp.asarray(
+        [np.uint32(1 << (b - 32)) if b >= 32 else np.uint32(0)
+         for b in range(geo.n_bits)], jnp.uint32)
+    out["bits_lo"] = jnp.sum(bits_i * weights_lo[:, None], axis=0,
+                             dtype=jnp.uint32)
+    out["bits_hi"] = jnp.sum(bits_i * weights_hi[:, None], axis=0,
+                             dtype=jnp.uint32)
+    return out
+
+
 @functools.lru_cache(maxsize=64)
 def _build_score_fn(geo: DemodGeometry, t_len: int, platform: Optional[str]):
     """Compile the scoring function for a fixed chunk length.
@@ -209,105 +308,16 @@ def _build_score_fn(geo: DemodGeometry, t_len: int, platform: Optional[str]):
         and per-sample sig/noise diagnostics are folded in already.
     """
     dtype = jnp.float64 if geo.use_f64 else jnp.float32
-    basis_np = make_basis(geo, np.float64 if geo.use_f64 else np.float32)
-    s_len = t_len + geo.max_begin  # offsets where bit windows may start
-    use_fft = geo.nb > _DIRECT_CONV_MAX_NB
-    use_pallas = _pallas_eligible(geo)
     # NB: keep all closure constants as NumPy values — capturing a jax.Array
     # in a jitted closure forces a device-constant path that lowers
     # pathologically slowly in this environment (~70s per constant).
-    eps = np.float32(F32_EPSILON)
-
-    bit_begin = np.asarray(geo.bit_begin, np.int64)
-    req_data = np.asarray(geo.req_data, np.int64)
-    req_sync = np.asarray(geo.req_sync, np.int64)
+    basis_np = make_basis(geo, np.float64 if geo.use_f64 else np.float32)
+    s_len = t_len + geo.max_begin  # offsets where bit windows may start
 
     def score(samples):
         x = samples.astype(dtype)
-        basis = jnp.asarray(basis_np)
-        if use_pallas:
-            from .pallas_demod import correlate_pallas
-            corr = correlate_pallas(x, basis_np, s_len)
-        elif use_fft:
-            corr = _correlate_fft(x, basis, s_len)
-        else:
-            corr = _correlate_direct(x, basis, s_len)
-        # band magnitudes (reference: src/fsk.c:107-114,130-159)
-        scal = jnp.asarray(geo.magscalar, dtype)
-        mag_mark = (jnp.hypot(corr[0], corr[1]) * scal).astype(jnp.float32)
-        mag_space = (jnp.hypot(corr[2], corr[3]) * scal).astype(jnp.float32)
-
-        bit = mag_mark > mag_space                       # fsk.c:161 strict
-        sig = jnp.where(bit, mag_mark, mag_space)
-        noise = jnp.where(bit, mag_space, mag_mark)
-        noise_gated = jnp.where(noise > eps, noise, jnp.float32(0.0))
-
-        # ---- pass 2: shifted-slice frame analysis ----
-        def sl(arr, b):
-            off = int(bit_begin[b])
-            return jax.lax.dynamic_slice_in_dim(arr, off, t_len)
-
-        bits_f = jnp.stack([sl(bit, b) for b in range(geo.n_bits)])       # [B,T] bool
-        sigs = jnp.stack([sl(sig, b) for b in range(geo.n_bits)])         # [B,T]
-        noises = jnp.stack([sl(noise_gated, b) for b in range(geo.n_bits)])
-
-        bits_i = bits_f.astype(jnp.uint32)
-        total_sig = jnp.sum(sigs, axis=0)
-        total_noise = jnp.sum(noises, axis=0)
-        n_mark = jnp.sum(bits_i, axis=0).astype(jnp.float32)
-        n_space = jnp.float32(geo.n_bits) - n_mark
-        mark_sig = jnp.sum(jnp.where(bits_f, sigs, 0.0), axis=0)
-        space_sig = total_sig - mark_sig
-        # averages guarded like C (division skipped when count==0,
-        # reference: src/fsk.c:298-301); a zero average only feeds
-        # divergence terms for bits of that polarity, which then can't occur
-        avg_mark = jnp.where(n_mark > 0, mark_sig / n_mark, jnp.float32(0.0))
-        avg_space = jnp.where(n_space > 0, space_sig / n_space, jnp.float32(0.0))
-
-        avg_own = jnp.where(bits_f, avg_mark[None, :], avg_space[None, :])
-        divergence = jnp.sum(jnp.abs(sigs - avg_own) / avg_own, axis=0)
-        divergence = divergence * jnp.float32(2.0) / jnp.float32(geo.n_bits)
-
-        snr = total_sig / total_noise            # IEEE: x/0 = inf, 0/0 = nan
-        conf = snr * (jnp.float32(1.0) - divergence)
-        ampl = total_sig / jnp.float32(geo.n_bits)
-
-        def mask_for(req):
-            ok = jnp.ones((t_len,), bool)
-            for b in range(geo.n_bits):
-                r = int(req[b])
-                if r >= 0:
-                    ok = ok & (bits_f[b] == bool(r))
-            return ok
-
-        ok_data = mask_for(req_data)
-        ok_sync = mask_for(req_sync)
-        zero = jnp.float32(0.0)
-        conf_data = jnp.where(ok_data, conf, zero)
-        conf_sync = jnp.where(ok_sync, conf, zero)
-        # when the frame is rejected the reference leaves ampl at 0
-        # (reference: src/fsk.c:211-212, minimodem.c:1253 init)
-        ampl_data = jnp.where(ok_data, ampl, zero)
-        ampl_sync = jnp.where(ok_sync, ampl, zero)
-
-        # pack frame bits LSB-first (reference: src/fsk.c:439-441)
-        weights_lo = jnp.asarray(
-            [np.uint32(1 << b) if b < 32 else np.uint32(0)
-             for b in range(geo.n_bits)], jnp.uint32)
-        weights_hi = jnp.asarray(
-            [np.uint32(1 << (b - 32)) if b >= 32 else np.uint32(0)
-             for b in range(geo.n_bits)], jnp.uint32)
-        bits_lo = jnp.sum(bits_i * weights_lo[:, None], axis=0, dtype=jnp.uint32)
-        bits_hi = jnp.sum(bits_i * weights_hi[:, None], axis=0, dtype=jnp.uint32)
-
-        return {
-            "conf_data": conf_data,
-            "conf_sync": conf_sync,
-            "ampl_data": ampl_data,
-            "ampl_sync": ampl_sync,
-            "bits_lo": bits_lo,
-            "bits_hi": bits_hi,
-        }
+        corr = correlate_any(x, geo, basis_np, s_len)
+        return score_frame_channels(corr, geo, t_len, dtype)
 
     if platform is not None:
         # pin to a specific backend (e.g. "cpu" scoring beside a busy TPU)

@@ -33,12 +33,11 @@ import numpy as np
 
 from ..config import ModemConfig
 from .demod import (
-    _DIRECT_CONV_MAX_NB,
     DemodGeometry,
-    _correlate_direct,
-    _correlate_fft,
+    correlate_any,
     geometry_from_config,
     make_basis,
+    score_frame_channels,
 )
 
 FSK_ANALYZE_NSTEPS = 3          # reference: src/minimodem.c:1248
@@ -148,18 +147,8 @@ def make_score_packer(cfg_key, t_total: int, input_dtype: str):
     3 ampl_sync, 4 bits_lo, 5 bits_hi, 6/7 zero.  Shared by the XLA
     receiver (stage 3 while_loop) and the Pallas megakernel."""
     geo = geo_from_key(cfg_key)
-    n_bits = geo.n_bits
-    req_data, req_sync = geo.req_data, geo.req_sync
-    use_f64 = geo.use_f64
-    nb = geo.nb
-
-    basis_np = make_basis(geo, np.float64 if use_f64 else np.float32)
-    eps = np.float32(np.finfo(np.float32).eps)
-    dtype = jnp.float64 if use_f64 else jnp.float32
-    use_fft = nb > _DIRECT_CONV_MAX_NB
-
-    from .demod import _pallas_eligible
-    use_pallas = _pallas_eligible(geo)
+    basis_np = make_basis(geo, np.float64 if geo.use_f64 else np.float32)
+    dtype = jnp.float64 if geo.use_f64 else jnp.float32
 
     # the fused Pallas kernel does stages 1+2 tile-resident in VMEM
     # (ops/pallas_score.py) — the XLA pipeline below materializes every
@@ -194,69 +183,8 @@ def make_score_packer(cfg_key, t_total: int, input_dtype: str):
         return packed_tiles.transpose(1, 0, 2).reshape(8, t_total)
 
     def _score_tile(xd, t_len, tile_s_len):
-        basis = jnp.asarray(basis_np)
-        if use_pallas:
-            from .pallas_demod import correlate_pallas
-            corr = correlate_pallas(xd, basis_np, tile_s_len)
-        elif use_fft:
-            corr = _correlate_fft(xd, basis, tile_s_len)
-        else:
-            corr = _correlate_direct(xd, basis, tile_s_len)
-        scal = jnp.asarray(geo.magscalar, dtype)
-        mag_mark = (jnp.hypot(corr[0], corr[1]) * scal).astype(jnp.float32)
-        mag_space = (jnp.hypot(corr[2], corr[3]) * scal).astype(jnp.float32)
-        bit = mag_mark > mag_space                    # fsk.c:161 strict
-        sig = jnp.where(bit, mag_mark, mag_space)
-        noise = jnp.where(bit, mag_space, mag_mark)
-        noise_g = jnp.where(noise > eps, noise, jnp.float32(0.0))
-
-        def sl(arr, b):
-            return jax.lax.dynamic_slice_in_dim(
-                arr, int(geo.bit_begin[b]), t_len)
-
-        bits_f = jnp.stack([sl(bit, b) for b in range(n_bits)])
-        sigs = jnp.stack([sl(sig, b) for b in range(n_bits)])
-        noises = jnp.stack([sl(noise_g, b) for b in range(n_bits)])
-
-        bits_i = bits_f.astype(jnp.uint32)
-        total_sig = jnp.sum(sigs, axis=0)
-        total_noise = jnp.sum(noises, axis=0)
-        n_mark = jnp.sum(bits_i, axis=0).astype(jnp.float32)
-        n_space = jnp.float32(n_bits) - n_mark
-        mark_sig = jnp.sum(jnp.where(bits_f, sigs, 0.0), axis=0)
-        space_sig = total_sig - mark_sig
-        avg_mark = jnp.where(n_mark > 0, mark_sig / n_mark, jnp.float32(0.0))
-        avg_space = jnp.where(n_space > 0, space_sig / n_space,
-                              jnp.float32(0.0))
-        avg_own = jnp.where(bits_f, avg_mark[None, :], avg_space[None, :])
-        divergence = jnp.sum(jnp.abs(sigs - avg_own) / avg_own, axis=0)
-        divergence = divergence * jnp.float32(2.0) / jnp.float32(n_bits)
-        snr = total_sig / total_noise          # IEEE: x/0=inf, 0/0=nan
-        conf = snr * (jnp.float32(1.0) - divergence)
-        ampl = total_sig / jnp.float32(n_bits)
-
-        def mask_for(req):
-            ok = jnp.ones((t_len,), bool)
-            for b in range(n_bits):
-                if req[b] >= 0:
-                    ok = ok & (bits_f[b] == bool(req[b]))
-            return ok
-
-        zero = jnp.float32(0.0)
-        ok_data = mask_for(req_data)
-        ok_sync = mask_for(req_sync)
-        conf_d = jnp.where(ok_data, conf, zero)
-        conf_s = jnp.where(ok_sync, conf, zero)
-        ampl_d = jnp.where(ok_data, ampl, zero)
-        ampl_s = jnp.where(ok_sync, ampl, zero)
-        w_lo = jnp.asarray(
-            [np.uint32(1 << b) if b < 32 else np.uint32(0)
-             for b in range(n_bits)], jnp.uint32)
-        w_hi = jnp.asarray(
-            [np.uint32(1 << (b - 32)) if b >= 32 else np.uint32(0)
-             for b in range(n_bits)], jnp.uint32)
-        bits_lo = jnp.sum(bits_i * w_lo[:, None], axis=0, dtype=jnp.uint32)
-        bits_hi = jnp.sum(bits_i * w_hi[:, None], axis=0, dtype=jnp.uint32)
+        corr = correlate_any(xd, geo, basis_np, tile_s_len)
+        ch = score_frame_channels(corr, geo, t_len, dtype)
         # pack all six per-offset channels as one [8, T] uint32 array so the
         # while loop fetches a whole score window with ONE dynamic slice per
         # stream per iteration.  Channel layout (floats bitcast):
@@ -265,11 +193,11 @@ def make_score_packer(cfg_key, t_total: int, input_dtype: str):
         # (T must stay the minormost dim: tiny minor dims make XLA pick an
         # (8,128)-tiled layout that inflates memory ~16-32x)
         u = jax.lax.bitcast_convert_type
-        zeros = jnp.zeros_like(bits_lo)
+        zeros = jnp.zeros_like(ch["bits_lo"])
         return jnp.stack([
-            u(conf_d, jnp.uint32), u(conf_s, jnp.uint32),
-            u(ampl_d, jnp.uint32), u(ampl_s, jnp.uint32),
-            bits_lo, bits_hi, zeros, zeros], axis=0)
+            u(ch["conf_data"], jnp.uint32), u(ch["conf_sync"], jnp.uint32),
+            u(ch["ampl_data"], jnp.uint32), u(ch["ampl_sync"], jnp.uint32),
+            ch["bits_lo"], ch["bits_hi"], zeros, zeros], axis=0)
 
     return score_arrays
 
