@@ -128,7 +128,7 @@ def batched_loopback_throughput(mode: str = "1200",
     m = FskModem(mode, sample_rate=sample_rate, precision=precision)
     base = _bench_payload(m.cfg, audio_seconds)
     payloads = [
-        bytes((b + i) % 94 + 33 for b in range(len(base)))
+        bytes((b + i) % 94 + 33 for b in base)
         for i in range(batch)
     ]
     scheds = [tx_bit_schedule(p, m.cfg, Ascii8Codec()) for p in payloads]

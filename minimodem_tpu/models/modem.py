@@ -25,7 +25,7 @@ class FskModem:
                  rx_options: Optional[RxOptions] = None,
                  tx_options: Optional[TxOptions] = None,
                  sample_format: SampleFormat = SampleFormat.FLOAT,
-                 precision: str = "auto"):
+                 precision: str = "auto", usos: bool = True):
         factory = PRESETS.get(str(mode).lower())
         if factory is not None:
             preset: Preset = factory(sample_rate=sample_rate)
@@ -37,6 +37,7 @@ class FskModem:
         self.tx_options = tx_options or TxOptions()
         self.sample_format = sample_format
         self.precision = precision
+        self.usos = usos                 # baudot unshift-on-space (-u)
 
     # ------------------------------------------------------------------
     def modulate(self, data: bytes, synth_backend: str = "numpy") -> np.ndarray:
@@ -44,7 +45,7 @@ class FskModem:
         if not self.preset.tx_supported:
             raise NotImplementedError(
                 f"{self.preset.decoder} --tx mode is not supported")
-        kw = {} if self.preset.encoder != "baudot" else {}
+        kw = {"usos": self.usos} if self.preset.encoder == "baudot" else {}
         encoder = get_codec(self.preset.encoder, **kw)
         txer = Transmitter(self.cfg, self.tx_options, encoder,
                            self.sample_format, synth_backend)
@@ -65,7 +66,8 @@ class FskModem:
         if samples.dtype != np.int16:
             samples = np.asarray(samples, np.float32)
 
-        codec = get_codec(self.preset.decoder)
+        codec = get_codec(self.preset.decoder, **(
+            {"usos": self.usos} if self.preset.decoder == "baudot" else {}))
         sink = io.BytesIO()
         events: list[str] = []
         rxer = Receiver(self.cfg, self.rx_options, codec,

@@ -177,16 +177,21 @@ def key_frame(
     gen: ToneGenerator,
     bits: int,
     cfg: ModemConfig,
+    msb_first: bool = None,
 ) -> None:
     """Emit one FSK frame into the tone schedule: start bit(s), data bits
-    (LSB-first unless msb_first), stop bit(s)."""
+    (LSB-first unless msb_first), stop bit(s).  msb_first overrides the
+    config's bit order — sync-preamble frames are always LSB-first
+    (reference passes a literal 0, src/minimodem.c:216-221)."""
+    if msb_first is None:
+        msb_first = cfg.msb_first
     bit_ns = cfg.bit_nsamples_tx
     mark_f, space_f = cfg.mark_f, cfg.space_f
     if cfg.nstartbits > 0:
         start_f = mark_f if cfg.invert_start_stop else space_f
         gen.tone(start_f, trunc_i(f32_mul(bit_ns, cfg.nstartbits)))
     for i in range(cfg.n_data_bits):
-        if cfg.msb_first:
+        if msb_first:
             bit = (bits >> (cfg.n_data_bits - i - 1)) & 1
         else:
             bit = (bits >> i) & 1
@@ -220,19 +225,25 @@ class Transmitter:
         words = self.encoder.encode(byte)
         if self.transmitting == 0:
             self.transmitting = 1
-            for _ in range(self.opts.leader_bits_len):
+            # no leader tone when the frame has no start bits
+            # (reference: src/minimodem.c:948-950)
+            leader = (0 if cfg.nstartbits == 0
+                      else self.opts.leader_bits_len)
+            for _ in range(leader):
                 self.gen.tone(self._leader_f, cfg.bit_nsamples_tx)
         if self.transmitting < 2:
             self.transmitting = 2
             for _ in range(cfg.do_tx_sync_bytes):
-                key_frame(self.gen, cfg.sync_byte, cfg)
+                key_frame(self.gen, cfg.sync_byte, cfg, msb_first=False)
         for w in words:
             key_frame(self.gen, w, cfg)
 
     def idle_tone(self, nsamples: int) -> None:
-        """Idle carrier (interactive/--tx-carrier modes,
-        reference: src/minimodem.c:230-237)."""
-        self.transmitting = max(self.transmitting, 1)
+        """Idle carrier (interactive/--tx-carrier modes).  The reference
+        unconditionally sets tx_transmitting = 1 here, so the sync-byte
+        preamble is re-emitted after every idle gap
+        (reference: src/minimodem.c:230-237)."""
+        self.transmitting = 1
         self.gen.tone(self._leader_f, nsamples)
 
     def finish(self) -> None:

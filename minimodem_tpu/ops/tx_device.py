@@ -55,6 +55,10 @@ def tx_bit_schedule(data: bytes, cfg: ModemConfig, encoder,
             out.append(bit)
         out.extend([stop_bit] * nstop)
 
+    # no leader tone when the frame has no start bits
+    # (reference: src/minimodem.c:948-950)
+    if cfg.nstartbits == 0:
+        leader_bits_len = 0
     transmitting = 0
     for byte in data:
         words = encoder.encode(byte)

@@ -21,10 +21,13 @@ def _lroundf(x):
     return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
 
 
-@functools.partial(jax.jit, static_argnames=("sin_table_len", "tone_mag", "is_s16"))
-def _synth_lut(turns, silent, table, *, sin_table_len, tone_mag, is_s16):
+@functools.partial(jax.jit, static_argnames=("sin_table_len",))
+def _synth_lut(turns, silent, table, *, sin_table_len):
     tf = (jnp.float32(sin_table_len) * turns + jnp.float32(0.5))
-    idx = jnp.trunc(tf).astype(jnp.int32) % sin_table_len
+    # int64 like the NumPy path (ops/tx.py): int32 truncation would wrap
+    # for very long single-tone segments
+    idx = (jnp.trunc(tf).astype(jnp.int64) % sin_table_len).astype(
+        jnp.int32)
     out = table[idx]
     zero = jnp.array(0, out.dtype)
     return jnp.where(silent, zero, out)
@@ -48,8 +51,8 @@ def synthesize_device(turns, silent, table_short, table_float,
     silent = jnp.asarray(silent)
     if sin_table_len:
         table = jnp.asarray(table_short if is_s16 else table_float)
-        return _synth_lut(turns, silent, table, sin_table_len=sin_table_len,
-                          tone_mag=tone_mag, is_s16=is_s16)
+        return _synth_lut(turns, silent, table,
+                          sin_table_len=sin_table_len)
     # mirror the reference's S16 magnitude clamp (src/simple-tone-generator.c:146-150)
     from .tx import _mag_s16
     mag_s = _mag_s16(np.float32(tone_mag))
