@@ -67,6 +67,28 @@ def run_tx_benchmarks(duration_sec: int = 10,
         stream.close()
 
 
+def run_decode_benchmarks(audio_seconds: float = 10.0) -> None:
+    """Decode-throughput section of `--benchmarks` (this framework's
+    extension of the reference's tone-gen-only mode,
+    src/minimodem.c:305-365): end-to-end and on-device real-time
+    factors in the reference's `name   rate  samples/sec` layout."""
+    rows = []
+    try:
+        r = decode_throughput("1200", audio_seconds=audio_seconds)
+        rows.append(("decode-Bell202-e2e-host", r))
+        r = loopback_throughput("1200", audio_seconds=audio_seconds)
+        rows.append(("decode-Bell202-on-device", r))
+    except Exception as e:  # no usable jax device: keep tone-gen output
+        print(f"# decode benchmarks unavailable: {e}", file=sys.stderr)
+        return
+    for name, r in rows:
+        sps = r["real_time_factor"] * 48000
+        flag = "" if r["decode_exact"] else "  (DECODE MISMATCH)"
+        print(f"  {name:<40} {r['real_time_factor']:10.1f}x realtime "
+              f"{sps:14.0f} samples/sec{flag}")
+        sys.stdout.flush()
+
+
 def _bench_payload(cfg, audio_seconds: float) -> bytes:
     rate = float(cfg.data_rate)
     nbytes = max(16, int(audio_seconds * rate / cfg.frame_n_bits))

@@ -101,13 +101,13 @@ def _version() -> None:
 def _atof(s: str) -> float:
     """C atof(): parse leading float, 0.0 on garbage."""
     import re
-    m = re.match(r"[ \t]*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s)
+    m = re.match(r"[ \t\n\v\f\r]*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s)
     return float(m.group(0)) if m else 0.0
 
 
 def _atoi(s: str) -> int:
     import re
-    m = re.match(r"[ \t]*[+-]?\d+", s)
+    m = re.match(r"[ \t\n\v\f\r]*[+-]?\d+", s)
     return int(m.group(0)) if m else 0
 
 
@@ -116,7 +116,7 @@ def _strtol0(s: str) -> int:
     0 on garbage (reference parses --sync-byte this way,
     src/minimodem.c:700-702)."""
     import re
-    m = re.match(r"[ \t]*([+-]?)(0[xX][0-9a-fA-F]+|0[0-7]*|[1-9]\d*)", s)
+    m = re.match(r"[ \t\n\v\f\r]*([+-]?)(0[xX][0-9a-fA-F]+|0[0-7]*|[1-9]\d*)", s)
     if not m:
         return 0
     sign = -1 if m.group(1) == "-" else 1
@@ -291,8 +291,9 @@ def main(argv=None) -> int:
             _usage()
 
     if run_benchmarks:
-        from .bench import run_tx_benchmarks
+        from .bench import run_decode_benchmarks, run_tx_benchmarks
         run_tx_benchmarks()
+        run_decode_benchmarks()
         return 0
 
     if tx_mode is None:

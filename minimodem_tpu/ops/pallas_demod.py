@@ -85,7 +85,7 @@ def _build(nb: int, n_tiles: int):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
             pl.BlockSpec((kdim, 512), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),     # W replicated
         ],
@@ -139,7 +139,7 @@ def _build_batch(nb: int, n_tiles: int, batch: int):
         kernel,
         grid=(batch, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # x [B*row] in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # x [B*row] in HBM
             pl.BlockSpec((kdim, 512), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),     # W replicated
         ],

@@ -715,6 +715,12 @@ class Voc(_Codec):
     def encode(self, stream, buf: np.ndarray) -> bytes:
         return _wire(stream, buf, "<i2")
 
+    def trailer(self, stream) -> bytes:
+        # Terminator block 0, appended after the sample data and NOT
+        # counted in the block-9 24-bit size field (libsndfile voc.c
+        # writes the same byte on close).
+        return b"\x00"
+
     def sniff(self, head: bytes, ext: str) -> bool:
         return head[:20] == self._MAGIC
 
@@ -1083,6 +1089,10 @@ class Mpc2k(_Codec):
     exts = ("mpc2k", "mpc")
 
     def header(self, stream, data_nbytes: int) -> bytes:
+        if stream.rate > 0xFFFF:
+            raise RuntimeError(
+                f"MPC2K sample-rate field is 16-bit; {stream.rate} Hz "
+                "does not fit — use a WAV/AU/FLAC container")
         frames = data_nbytes // (2 * stream.channels) \
             if stream.channels else 0
         # fixed label, not the basename libsndfile stamps: output bytes
@@ -1093,7 +1103,7 @@ class Mpc2k(_Codec):
                               1 if stream.channels == 2 else 0)
                 + struct.pack("<III", 0, frames, frames)
                 + struct.pack("<IBB", frames, 0, 1)
-                + struct.pack("<H", min(stream.rate, 0xFFFF)))
+                + struct.pack("<H", stream.rate))
 
     def encode(self, stream, buf: np.ndarray) -> bytes:
         return _wire(stream, buf, "<i2")

@@ -422,6 +422,14 @@ class FileStream(Stream):
                         self._fh.write(tail)
                         self._data_bytes = getattr(
                             self, "_data_bytes", 0) + len(tail)
+                # trailer bytes (VOC terminator block) follow the data
+                # but do NOT count toward the header's data size field
+                trailer = getattr(self._codec, "trailer", None) \
+                    if self._codec is not None else None
+                if trailer is not None:
+                    t = trailer(self)
+                    if t:
+                        self._fh.write(t)
                 data_nbytes = getattr(self, "_data_bytes", 0)
                 if self.container == "wav":
                     self._fh.seek(0)
