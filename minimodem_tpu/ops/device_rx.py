@@ -206,7 +206,8 @@ def make_score_packer(cfg_key, t_total: int, input_dtype: str):
 def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                      input_dtype: str = "float32",
                      finalize: bool = True,
-                     compact: bool = False):
+                     compact: bool = False,
+                     packed_input: bool = False):
     """Compile the full device receiver for a fixed scored length
     t_total (>= stream length in samples).
 
@@ -214,6 +215,12 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
     device (x/32768, the libsndfile convention the reference relies on,
     reference: sf_readf_float in src/simpleaudio-sndfile.c:49) — halving
     the host->device transfer for S16 sources.
+
+    packed_input=True: the receiver's first argument is pre-packed score
+    channels [B, 8, t_total] uint32 (make_score_packer layout) instead of
+    audio samples — the entry point for callers that shard the scoring
+    stage over a mesh (parallel/service.py) and feed the state machine
+    from gathered shards.
 
     compact=True (requires n_data_bits <= 8): frame bits are post-processed
     to data bytes ON DEVICE (stop-strip, bit window, msb reversal,
@@ -270,7 +277,8 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
     # multiple of 8 so the packed-result bitcast covers every byte slot
     max_events = ((t_total // min_advance + 16 + 7) // 8) * 8
 
-    score_arrays = make_score_packer(cfg_key, t_total, input_dtype)
+    score_arrays = (None if packed_input
+                    else make_score_packer(cfg_key, t_total, input_dtype))
 
     # ------------------------------------------------------------------
     def receiver(x, total, conf_threshold, conf_search_limit, carry):
@@ -288,11 +296,15 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
         finalize=False the end-of-stream NOCARRIER report is suppressed
         and carry_out continues into the next segment.
         """
-        B = x.shape[0]
-        brange = jnp.arange(B)
         # flatten to 2-D [B*8, T]: a 3-D [B, 8, T] form tempts XLA into an
         # (8,128)-tiling over the two small dims (~16-32x memory inflation)
-        packed = jax.vmap(score_arrays)(x).reshape(B * 8, -1)
+        if packed_input:
+            B = x.shape[0]
+            packed = x.reshape(B * 8, -1)
+        else:
+            B = x.shape[0]
+            packed = jax.vmap(score_arrays)(x).reshape(B * 8, -1)
+        brange = jnp.arange(B)
         row0 = (brange * 8).astype(jnp.int32)
 
         # all candidate offsets lie in [0, W): slice one contiguous window

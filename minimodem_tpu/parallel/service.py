@@ -2,12 +2,16 @@
 
 parallel/sharding.py shards the scoring stage (dp x sp with a ppermute
 halo exchange); this module shards the COMPLETE decode — scoring,
-carrier state machine (XLA while_loop), event collection — over the
-"dp" axis of a mesh via shard_map, with psum'd fleet statistics.  Each
-chip runs the whole single-chip device receiver on its shard of the
-stream batch; streams are independent (the reference's RX loop,
-src/minimodem.c:1144-1463, has no cross-stream state), so the only
-collectives are the stats reductions.
+carrier state machine (XLA while_loop), event collection — over a
+(dp, sp) mesh via shard_map, with psum'd fleet statistics.  Streams
+are independent (the reference's RX loop, src/minimodem.c:1144-1463,
+has no cross-stream state), so dp needs no communication.  With sp>1
+the time axis of scoring is also sharded: each shard scores t_total/sp
+offsets (ppermute halo from the right neighbor), the packed score
+channels are all-gathered along "sp" over ICI, and the sequential
+state machine runs sp-replicated on the gathered scores — scoring
+carries ~99% of the FLOPs, so replicating the state machine trades a
+negligible amount of compute for zero cross-shard control flow.
 
 This is the deployment shape for a decode fleet: N chips x B/N streams
 each, one program launch, one result collection, aggregate service
@@ -48,9 +52,7 @@ class ShardedReceiver:
         self.mesh = mesh if mesh is not None else make_mesh(
             dp=len(jax.devices()), sp=1)
         self.dp = self.mesh.shape["dp"]
-        assert self.mesh.shape.get("sp", 1) == 1, (
-            "ShardedReceiver shards whole streams (dp); use "
-            "parallel.sharding.sharded_score_fn for sp-sharded scoring")
+        self.sp = self.mesh.shape.get("sp", 1)
         self.precision = precision
         self.rx_one = rx_one
         self.key = device_rx_key(cfg, precision)
@@ -67,13 +69,53 @@ class ShardedReceiver:
         fn = self._fns.get(cache_key)
         if fn is not None:
             return fn
+        sp = self.sp
         # wide event path: its [8, B, E] layout shards cleanly on axis 1
         rx_fn, _, _ = _build_device_rx(
-            self.key, t_total, self.rx_one, in_dtype, True, False)
+            self.key, t_total, self.rx_one, in_dtype, True, False,
+            packed_input=(sp > 1))
+        if sp > 1:
+            # sp-sharded scoring: each (dp, sp) shard scores t_total/sp
+            # offsets (halo ppermuted from the right neighbor, like
+            # sharding.sharded_score_fn), then the packed channels are
+            # all-gathered along "sp" and every sp rank runs the
+            # dp-local state machine on identical inputs (replicated
+            # compute — the state machine is sequential over time and
+            # carries ~1% of the work; scoring is where the FLOPs are)
+            from ..ops.device_rx import (
+                geo_from_key, make_score_packer)
+
+            assert t_total % sp == 0, (t_total, sp)
+            t_local = t_total // sp
+            geo = geo_from_key(self.key)
+            if geo.halo > t_local:
+                raise ValueError(
+                    f"halo ({geo.halo}) exceeds t_total/sp ({t_local}); "
+                    "use fewer sp shards for this geometry")
+            packer = make_score_packer(self.key, t_local, in_dtype)
+            halo = geo.halo
 
         def local_fn(x, totals, thr, carry):
             # thr: [2] = (conf_threshold, conf_search_limit), replicated
-            ev, n, _carry = rx_fn(x, totals, thr[0], thr[1], carry)
+            if sp > 1:
+                # x: [Bl, t_local] time shard; fetch the right-neighbor
+                # halo over ICI (last shard scores into zero padding,
+                # matching the unsharded scorer's zero-pad past t_total)
+                lead = x[:, :halo]
+                left_halo = jax.lax.ppermute(
+                    lead, "sp",
+                    [(i, (i - 1) % sp) for i in range(sp)])
+                is_last = jax.lax.axis_index("sp") == sp - 1
+                left_halo = jnp.where(is_last,
+                                      jnp.zeros_like(left_halo), left_halo)
+                x_ext = jnp.concatenate([x, left_halo], axis=1)
+                packed_local = jax.vmap(packer)(x_ext)  # [Bl, 8, t_local]
+                packed = jax.lax.all_gather(
+                    packed_local, "sp", axis=2, tiled=True)
+                ev, n, _carry = rx_fn(packed, totals, thr[0], thr[1],
+                                      carry)
+            else:
+                ev, n, _carry = rx_fn(x, totals, thr[0], thr[1], carry)
             # fleet stats, reduced over the mesh (EV codes:
             # ops/device_rx.py:49-52; NOCARRIER pay = [nframes,
             # conf_total, ampl_total, ...] — device_rx.py:654-663)
@@ -92,20 +134,22 @@ class ShardedReceiver:
             stats = jax.lax.psum(stats, "dp")
             return ev, n, stats
 
-        in_specs = (P(None, "dp"), P("dp"), P(), P("dp"))
-        # carry dict: every leaf is per-stream [B]
+        x_spec = P("dp", "sp") if sp > 1 else P("dp")
+        in_specs = (x_spec, P("dp"), P(), P("dp"))
+        # carry dict: every leaf is per-stream [B]; ev/n/stats are
+        # sp-replicated (every sp rank ran the same state machine)
         out_specs = (P(None, "dp"), P("dp"), P())
         if hasattr(jax, "shard_map"):  # jax >= 0.8
             sfn = jax.shard_map(
                 local_fn, mesh=self.mesh,
-                in_specs=(P("dp"),) + in_specs[1:],
+                in_specs=in_specs,
                 out_specs=out_specs, check_vma=False)
         else:
             from jax.experimental.shard_map import shard_map
 
             sfn = shard_map(
                 local_fn, mesh=self.mesh,
-                in_specs=(P("dp"),) + in_specs[1:],
+                in_specs=in_specs,
                 out_specs=out_specs, check_rep=False)
         fn = jax.jit(sfn)
         self._fns[cache_key] = fn
@@ -134,19 +178,29 @@ class ShardedReceiver:
         b, L = samples.shape
         totals = np.asarray(totals, np.int32)
         b_pad = -(-b // self.dp) * self.dp
-        t_total = _round_up_pow2(
-            int(totals.max(initial=0)) + self.cfg.nsamples_overscan + 1)
+        need = int(totals.max(initial=0)) + self.cfg.nsamples_overscan + 1
+        if self.sp > 1:
+            # each sp shard's t_local must itself be a valid packer
+            # length (pow2 / 256K-multiple bucketing)
+            t_total = self.sp * _round_up_pow2(-(-need // self.sp))
+        else:
+            t_total = _round_up_pow2(need)
         geo = geometry_from_config(self.cfg, self.precision)
-        x = np.zeros((b_pad, t_total + geo.halo), samples.dtype)
-        x[:b, :min(L, t_total + geo.halo)] = \
-            samples[:, :t_total + geo.halo]
+        # sp>1 shards the time axis evenly: no trailing halo region (the
+        # last shard scores into zeros, which is what the region holds
+        # anyway — t_total exceeds every stream's valid length)
+        t_host = t_total if self.sp > 1 else t_total + geo.halo
+        x = np.zeros((b_pad, t_host), samples.dtype)
+        x[:b, :min(L, t_host)] = samples[:, :t_host]
         tot = np.zeros((b_pad,), np.int32)
         tot[:b] = totals
         in_dtype = "int16" if samples.dtype == np.int16 else "float32"
         fn = self._fn_for(t_total, in_dtype)
 
         shard = NamedSharding(self.mesh, P("dp"))
-        xs = jax.device_put(x, shard)
+        x_shard = NamedSharding(
+            self.mesh, P("dp", "sp") if self.sp > 1 else P("dp"))
+        xs = jax.device_put(x, x_shard)
         ev, n, stats = fn(
             xs, jax.device_put(tot, shard),
             np.asarray([conf_threshold, conf_search_limit], np.float32),
