@@ -34,7 +34,28 @@ def main() -> int:
     lb = loopback_throughput("1200", audio_seconds=audio_seconds)
     e2e = decode_throughput("1200", audio_seconds=audio_seconds)
 
-    ok = all(r["decode_exact"] for r in (blb, blb2, lb, e2e))
+    # per-mode matrix: fractional-stop-bit geometries (rtty/tdd ride the
+    # frame-schedule device TX), the sync-preamble mode (same), and a
+    # caller-id burst row — each decode-exact on its own codec
+    from minimodem_tpu.bench import callerid_throughput, mode_loopback_throughput
+
+    modes = {}
+    for mode_name in ("rtty", "same"):
+        r = mode_loopback_throughput(mode_name, audio_seconds=15.0, batch=8)
+        modes[mode_name] = {
+            "real_time_factor": round(r["real_time_factor"], 2),
+            "decode_exact": r["decode_exact"],
+            "audio_seconds": round(r["audio_seconds"], 2),
+        }
+    r = callerid_throughput(batch=8)
+    modes["callerid"] = {
+        "real_time_factor": round(r["real_time_factor"], 2),
+        "decode_exact": r["decode_exact"],
+        "audio_seconds": round(r["audio_seconds"], 2),
+    }
+
+    ok = all(r["decode_exact"] for r in (blb, blb2, lb, e2e)) \
+        and all(m["decode_exact"] for m in modes.values())
     out = {
         "metric": "bell202_48k_decode_realtime_factor",
         "value": round(best, 2),
@@ -45,6 +66,7 @@ def main() -> int:
         "single_stream_realtime_factor": round(lb["real_time_factor"], 2),
         "e2e_realtime_factor": round(e2e["real_time_factor"], 2),
         "audio_seconds_total": round(blb["audio_seconds"], 2),
+        "modes": modes,
     }
     print(json.dumps(out))
     return 0 if ok else 1

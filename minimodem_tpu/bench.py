@@ -180,6 +180,153 @@ def batched_loopback_throughput(mode: str = "1200",
     }
 
 
+_BAUDOT_CHARS = b"THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG 0123456789 "
+
+
+def _mode_payload(m, audio_seconds: float) -> bytes:
+    """A payload the mode's own codec can represent, sized to roughly
+    audio_seconds of transmit time."""
+    if m.preset.encoder == "baudot":
+        # ~7.5 bit-times per character frame (5N1.5) + shift frames
+        nchars = max(8, int(audio_seconds * float(m.cfg.data_rate)
+                            / (m.cfg.nstartbits + m.cfg.n_data_bits + 2)))
+        reps = -(-nchars // len(_BAUDOT_CHARS))
+        return (_BAUDOT_CHARS * reps)[:nchars]
+    return _bench_payload(m.cfg, audio_seconds)
+
+
+def mode_loopback_throughput(mode: str, audio_seconds: float = 15.0,
+                             batch: int = 8, sample_rate: int = 48000,
+                             precision: str = "auto") -> dict:
+    """Batched on-device loopback for ANY TX-capable preset — uniform
+    framings ride the flat bit schedule, fractional stop bits (rtty 1.5
+    / tdd 2.0) the frame-schedule synthesis path.  Returns the same row
+    shape as batched_loopback_throughput."""
+    import io
+
+    from .codecs import get_codec
+    from .config import RxOptions
+    from .models.modem import FskModem
+    from .ops.device_rx import DeviceLoopback
+    from .ops.tx_device import (
+        tx_bit_schedule, tx_frame_schedule, uniform_bits_supported)
+    from .rx.engine import Receiver
+
+    m = FskModem(mode, sample_rate=sample_rate, precision=precision)
+    base = _mode_payload(m, audio_seconds)
+    enc = get_codec(m.preset.encoder) if m.preset.encoder != "baudot" \
+        else get_codec("baudot", usos=True)
+    dec_name = m.preset.decoder
+    payloads = [base for _ in range(batch)]
+
+    lb = DeviceLoopback(m.cfg, precision)
+    if uniform_bits_supported(m.cfg):
+        scheds = [tx_bit_schedule(p, m.cfg, enc) for p in payloads]
+        audio_sec = (sum(len(s) for s in scheds)
+                     * m.cfg.bit_nsamples_tx / sample_rate)
+        run = lambda: lb.run_events_batch(scheds)  # noqa: E731
+    else:
+        fscheds = []
+        lead_trail = None
+        for p in payloads:
+            fb, lead, trail = tx_frame_schedule(p, m.cfg, enc)
+            fscheds.append(fb)
+            lead_trail = (lead, trail)
+        audio_sec = sum(
+            lead_trail[0] * m.cfg.bit_nsamples_tx
+            + fb.shape[0] * lb.frame_len
+            + lead_trail[1] * m.cfg.bit_nsamples_tx
+            for fb in fscheds) / sample_rate
+        run = lambda: lb.run_events_frames_batch(  # noqa: E731
+            fscheds, lead_trail)
+
+    events = run()  # compile + correctness
+    ok = True
+    for i, p in enumerate(payloads):
+        sink = io.BytesIO()
+        kw = {"usos": True} if dec_name == "baudot" else {}
+        rx = Receiver(m.cfg, RxOptions(), get_codec(dec_name, **kw),
+                      sink.write, lambda s: None)
+        rx.render_events(*events[i])
+        got = sink.getvalue()
+        want = _expected_rendering(dec_name, p)
+        ok = ok and got == want
+
+    t0 = time.perf_counter()
+    run()
+    dt = time.perf_counter() - t0
+    return {
+        "mode": mode,
+        "batch": batch,
+        "audio_seconds": audio_sec,
+        "wall_seconds": dt,
+        "real_time_factor": audio_sec / dt,
+        "decode_exact": bool(ok),
+    }
+
+
+def _expected_rendering(dec_name: str, payload: bytes) -> bytes:
+    """What the mode's decoder should print for a clean loopback of
+    `payload` (identity for ascii/baudot round trips; the callerid
+    formatter output for CID byte vectors)."""
+    if dec_name == "callerid":
+        from .codecs import get_codec
+
+        c = get_codec("callerid")
+        out = b"".join(c.decode(b, 8) for b in payload)
+        return out
+    return payload
+
+
+def callerid_throughput(batch: int = 8, sample_rate: int = 48000,
+                        precision: str = "auto") -> dict:
+    """Caller-ID decode row: one MDMF message per stream (the real
+    usage shape — a short burst per ring), TX'd as plain Bell-202 bytes
+    exactly like the reference's own test fixtures
+    (reference: tests/70-callerid-mdmf.test)."""
+    import io
+
+    from .codecs import Ascii8Codec, get_codec
+    from .config import RxOptions
+    from .models.modem import FskModem
+    from .ops.device_rx import DeviceLoopback
+    from .ops.tx_device import tx_bit_schedule
+    from .rx.engine import Receiver
+
+    body = (b"\x01\x08" + b"07040831"
+            + b"\x07\x09" + b"ADA LOVEL"
+            + b"\x02\x0a" + b"4155550142")
+    msg = bytes([0x80, len(body)]) + body + b"\x11"
+
+    m = FskModem("callerid", sample_rate=sample_rate, precision=precision)
+    sched = tx_bit_schedule(msg, m.cfg, Ascii8Codec())
+    scheds = [sched] * batch
+    audio_sec = (sum(len(s) for s in scheds)
+                 * m.cfg.bit_nsamples_tx / sample_rate)
+
+    lb = DeviceLoopback(m.cfg, precision)
+    events = lb.run_events_batch(scheds)
+    ok = True
+    for ev in events:
+        sink = io.BytesIO()
+        rx = Receiver(m.cfg, RxOptions(), get_codec("callerid"),
+                      sink.write, lambda s: None)
+        rx.render_events(*ev)
+        ok = ok and sink.getvalue() == _expected_rendering("callerid", msg)
+
+    t0 = time.perf_counter()
+    lb.run_events_batch(scheds)
+    dt = time.perf_counter() - t0
+    return {
+        "mode": "callerid",
+        "batch": batch,
+        "audio_seconds": audio_sec,
+        "wall_seconds": dt,
+        "real_time_factor": audio_sec / dt,
+        "decode_exact": bool(ok),
+    }
+
+
 def loopback_throughput(mode: str = "1200", audio_seconds: float = 60.0,
                         sample_rate: int = 48000,
                         precision: str = "auto") -> dict:

@@ -202,6 +202,15 @@ def make_score_packer(cfg_key, t_total: int, input_dtype: str):
     return score_arrays
 
 
+def hybrid_default_on() -> bool:
+    """Hybrid harvester dispatch: on by default for compact geometries;
+    MINIMODEM_TPU_HYBRID=0 falls back to the plain while_loop."""
+    import os
+
+    return os.environ.get("MINIMODEM_TPU_HYBRID", "1") not in (
+        "0", "", "off")
+
+
 @functools.lru_cache(maxsize=32)
 def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                      input_dtype: str = "float32",
@@ -276,6 +285,29 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                              geom[0]["try_max"], geom[1]["try_max"]))
     # multiple of 8 so the packed-result bitcast covers every byte slot
     max_events = ((t_total // min_advance + 16 + 7) // 8) * 8
+
+    # ---- hybrid harvester statics -----------------------------------
+    # In the locked steady state (carrier on, no-confidence run = 0) the
+    # scan's candidate 0 is try_first == overscan, and fsk_find_frame's
+    # early-exit rule (fsk.c:505-516: stop at the FIRST candidate whose
+    # running-max crosses the search limit) means candidate 0 wins
+    # outright whenever its own confidence crosses.  Every such frame
+    # advances by exactly frame_nsamples, so the whole locked run lives
+    # at an arithmetic progression of score offsets — which a strided
+    # slice gathers in one vectorized read, and a lax.scan replays the
+    # per-frame f32 update chain (track/peak/conf_total) bit-exactly,
+    # lane-parallel across streams.  Frames that fail any commit
+    # condition fall back to the per-frame while_loop (exact by
+    # construction), so decisions replay the sequential engine
+    # bit-for-bit.  This is the TPU-native answer to the reference's
+    # per-frame hot loop (src/minimodem.c:1248-1463).
+    harvest_adv = frame_nsamples
+    k_harvest = min(8192, t_total // max(harvest_adv, 1) - 2)
+    use_hybrid = (compact and hybrid_default_on()
+                  and harvest_adv > 0 and k_harvest >= 16
+                  and len(geom[1]["coarse"]) > 0
+                  and geom[1]["coarse"][0] == overscan
+                  and (k_harvest + 2) * harvest_adv <= t_total)
 
     score_arrays = (None if packed_input
                     else make_score_packer(cfg_key, t_total, input_dtype))
@@ -398,6 +430,8 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
 
         state0 = dict(carry)
         state0["n_events"] = jnp.zeros((B,), jnp.int32)
+        if use_hybrid:
+            state0["h_failed"] = jnp.zeros((B,), bool)
         # packed event log [8, B, E] uint32: channels 0-5 payload,
         # 6 = type | flags<<8, 7 unused.  (channel dim majormost so the
         # (8,128) tiling lands on (B, E) without padding blowup; one
@@ -426,11 +460,28 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                     st["pos"] + expect_nsamples <= total,
                     st["n_events"] < max_events - 2))
 
+        def harvestable(st):
+            """Streams eligible for a harvest attempt: on carrier with a
+            clean confidence run, and not already refused at this pos."""
+            return jnp.logical_and(
+                st["carrier"],
+                jnp.logical_and(st["noconfidence"] == 0,
+                                jnp.logical_not(st["h_failed"])))
+
+        def active_m(st):
+            # hybrid M-phase: freeze harvest-eligible streams (the
+            # vectorized harvester advances them); h_failed streams run
+            # one per-frame step, which clears the flag
+            return jnp.logical_and(active_of(st),
+                                   jnp.logical_not(harvestable(st)))
+
+        active_fn = active_m if use_hybrid else active_of
+
         def cond(st):
-            return jnp.any(active_of(st))
+            return jnp.any(active_fn(st))
 
         def body(st):
-            active = active_of(st)
+            active = active_fn(st)
             pos = st["pos"]
             carrier = st["carrier"]
             geo_i = carrier.astype(jnp.int32)
@@ -594,9 +645,131 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                 reset_stats, jnp.int32(0), carrier_nsamples)
             if rx_one:
                 st2["stop"] = jnp.logical_or(st["stop"], drop_report)
+            if use_hybrid:
+                # a processed frame re-arms the harvest attempt
+                st2["h_failed"] = jnp.where(active, False, st["h_failed"])
             return st2
 
-        st = jax.lax.while_loop(cond, body, state0)
+        # ---- hybrid harvest phase (vectorized locked-run decode) ----
+        def harvest(st):
+            adv = jnp.int32(harvest_adv)
+            Lh = k_harvest * harvest_adv
+            elig = jnp.logical_and(active_of(st), harvestable(st))
+            start = st["pos"] + jnp.int32(overscan)  # candidate-0 offset
+
+            # strided gather of candidate-0 channel values at the k_h
+            # predicted frame offsets: one dynamic slice + a reshape
+            # column per stream/channel.  Near the stream end the slice
+            # start is pulled back by whole strides (m) so nothing is
+            # clamped out of alignment; the scan indices shift back by m.
+            def gather_one(r0, s, ch):
+                over = s + jnp.int32(Lh + harvest_adv) - jnp.int32(t_total)
+                m = jnp.maximum(jnp.int32(0), -(-over // adv))
+                s2 = jnp.maximum(jnp.int32(0), s - m * adv)
+                seg = jax.lax.dynamic_slice(
+                    packed, (r0 + ch, s2), (1, Lh))
+                vals = seg.reshape(k_harvest, harvest_adv)[:, 0]
+                vals = jnp.concatenate(
+                    [vals, jnp.zeros((k_harvest,), vals.dtype)])
+                return jax.lax.dynamic_slice(vals, (m,), (k_harvest,))
+
+            def gather(ch):
+                return jax.vmap(
+                    lambda r0, s: gather_one(r0, s, ch))(row0, start)
+
+            c_all = jax.lax.bitcast_convert_type(
+                gather(0), jnp.float32)                  # [B, K] conf_data
+            a_all = jax.lax.bitcast_convert_type(
+                gather(2), jnp.float32)                  # [B, K] ampl_data
+            b_all = gather(4)                            # [B, K] bits_lo
+
+            # frame bits -> data word (compact post-processing, same as
+            # the per-frame path)
+            word_all = (b_all >> jnp.uint32(nstop_shift + nstartbits)) \
+                & jnp.uint32((1 << n_data_bits) - 1)
+            if msb_first:
+                rev = jnp.zeros_like(word_all)
+                for k in range(n_data_bits):
+                    rev = rev | (((word_all >> jnp.uint32(k))
+                                  & jnp.uint32(1))
+                                 << jnp.uint32(n_data_bits - 1 - k))
+                word_all = rev
+            if do_rx_sync and 0 <= sync_byte < (1 << n_data_bits):
+                # a sync byte is suppressed, not emitted: it would
+                # desync the contiguous byte write — end the chain and
+                # let the per-frame path process it exactly
+                nonsync = word_all != jnp.uint32(sync_byte)
+            else:
+                nonsync = jnp.ones_like(word_all, dtype=bool)
+
+            # exact replay of the per-frame f32 update chain, all
+            # streams in lane-parallel; k-th step commits iff every
+            # condition of the frame path holds with the EXACT running
+            # track/peak values (conditions match post(): no refine, no
+            # amplitude squelch, candidate-0 early exit, in bounds)
+            ktab = jnp.arange(k_harvest, dtype=jnp.int32)
+
+            def step(carryv, xs):
+                alive, track, peak, ctot, atot, L = carryv
+                c, a, ns, k = xs
+                in_bounds = (st["pos"] + k * adv
+                             + jnp.int32(expect_nsamples)) <= total
+                commit = alive & elig & in_bounds & ns
+                commit &= c >= conf_search_limit
+                commit &= c > jnp.float32(0.0)
+                commit &= c >= peak * jnp.float32(0.75)
+                commit &= a >= track * jnp.float32(0.25)
+                commit &= c > conf_threshold
+                track = jnp.where(commit, (track + a) / jnp.float32(2.0),
+                                  track)
+                peak = jnp.where(jnp.logical_and(commit, peak < c), c,
+                                 peak)
+                ctot = jnp.where(commit, ctot + c, ctot)
+                atot = jnp.where(commit, atot + a, atot)
+                L = L + jnp.where(commit, jnp.int32(1), jnp.int32(0))
+                return (commit, track, peak, ctot, atot, L), None
+
+            carry0 = (elig, st["track_amplitude"], st["peak_confidence"],
+                      st["conf_total"], st["ampl_total"],
+                      jnp.zeros((B,), jnp.int32))
+            (alive, track, peak, ctot, atot, L), _ = jax.lax.scan(
+                step, carry0,
+                (c_all.T, a_all.T, nonsync.T, ktab), unroll=8)
+
+            st = dict(st)
+            # contiguous byte write: words beyond L land past n_bytes+L
+            # and are overwritten by (or invisible to) later appends
+            ext = jnp.zeros((B, k_harvest), jnp.uint8)
+            buf = jnp.concatenate(
+                [st["bytes_buf"], ext], axis=1)
+            buf = jax.vmap(
+                lambda row, w, nb: jax.lax.dynamic_update_slice(
+                    row, w, (nb,)))(
+                buf, word_all.astype(jnp.uint8), st["n_bytes"])
+            st["bytes_buf"] = buf[:, :st["bytes_buf"].shape[1]]
+            st["n_bytes"] = st["n_bytes"] + L
+            st["pos"] = st["pos"] + L * adv
+            st["track_amplitude"] = track
+            st["peak_confidence"] = peak
+            st["conf_total"] = ctot
+            st["ampl_total"] = atot
+            st["nframes"] = st["nframes"] + L
+            st["carrier_nsamples"] = st["carrier_nsamples"] + L * adv
+            # a refused harvest forces one per-frame step before retry
+            st["h_failed"] = jnp.where(elig, L == 0, st["h_failed"])
+            return st
+
+        if use_hybrid:
+            def outer_body(st):
+                st = jax.lax.while_loop(cond, body, st)
+                return harvest(st)
+
+            def outer_cond(st):
+                return jnp.any(active_of(st))
+
+            st = jax.lax.while_loop(outer_cond, outer_body, state0)
+        else:
+            st = jax.lax.while_loop(cond, body, state0)
 
         if finalize:
             # end-of-stream: final NOCARRIER stats if still on carrier
@@ -704,32 +877,38 @@ class DeviceLoopback:
         import jax
         import jax.numpy as jnp
 
-        from .tx_device import device_synthesize, uniform_bits_supported
+        from .tx_device import frame_synth_params, uniform_bits_supported
 
-        assert uniform_bits_supported(cfg), (
-            "loopback needs uniform bit segments (integer start/stop bits)")
         self.cfg = cfg
         self.key = device_rx_key(cfg, precision)
         self.bit_ns = cfg.bit_nsamples_tx
+        self.uniform = uniform_bits_supported(cfg)
+        self.frame_len = frame_synth_params(cfg)["frame_len"]
         self._fns = {}
         self._amplitude = amplitude
         self._rx_one = rx_one
         self._geo = geometry_from_config(cfg, precision)
 
-    def _fn_for(self, b_pad: int, batch: int):
+    def _fn_for(self, b_pad: int, batch: int, frames_mode: bool = False,
+                lead_trail: tuple = (2, 2)):
         import jax
         import jax.numpy as jnp
 
         from .pallas_rx import build_mega_rx, mega_default_on, mega_supported
-        from .tx_device import device_synthesize
+        from .tx_device import device_synthesize, device_synthesize_frames
 
-        cache_key = (b_pad, batch)
+        cache_key = (b_pad, batch, frames_mode, lead_trail)
         fn = self._fns.get(cache_key)
         if fn is not None:
             return fn
         cfg = self.cfg
-        t_total = _round_up_pow2(
-            b_pad * self.bit_ns + cfg.nsamples_overscan + 1)
+        if frames_mode:
+            n_samples = (lead_trail[0] * self.bit_ns
+                         + b_pad * self.frame_len
+                         + lead_trail[1] * self.bit_ns)
+        else:
+            n_samples = b_pad * self.bit_ns
+        t_total = _round_up_pow2(n_samples + cfg.nsamples_overscan + 1)
         compact = cfg.n_data_bits <= 8
         use_mega = (compact and mega_supported(self.key)
                     and mega_default_on())
@@ -744,9 +923,16 @@ class DeviceLoopback:
         pad_to = t_total + geo.halo
         amp = self._amplitude
 
-        def loop(bits, total, thr, lim, carry):
-            # bits: [B, b_pad]; synthesize + decode each stream on device
-            s = jax.vmap(lambda bb: device_synthesize(bb, cfg, amp))(bits)
+        def loop(bits, total, thr, lim, carry, n_frames=None):
+            # bits: [B, b_pad] flat bit schedules — or, in frames mode,
+            # [B, b_pad, n_data_bits] per-frame data-bit rows
+            if frames_mode:
+                s = jax.vmap(lambda fb, nf: device_synthesize_frames(
+                    fb, nf, cfg, lead_trail[0], lead_trail[1], amp))(
+                        bits, n_frames)
+            else:
+                s = jax.vmap(
+                    lambda bb: device_synthesize(bb, cfg, amp))(bits)
             bsz = bits.shape[0]
             x = jnp.zeros((bsz, pad_to), jnp.float32)
             x = jax.lax.dynamic_update_slice(x, s, (0, 0))
@@ -763,7 +949,7 @@ class DeviceLoopback:
 
             fn = jit_mosaic(loop)
         else:
-            fn = jax.jit(loop)
+            fn = jax.jit(loop, static_argnames=())
         self._fns[cache_key] = (fn, compact, use_mega)
         return fn, compact, use_mega
 
@@ -773,6 +959,9 @@ class DeviceLoopback:
         Returns per-stream event tuples (see _collect_results)."""
         import jax.numpy as jnp
 
+        assert self.uniform, (
+            "flat bit schedules need uniform bit segments; use "
+            "run_events_frames_batch for fractional stop bits")
         b_real = [len(s) for s in sched_list]
         b_pad = ((max(b_real) + 4095) // 4096) * 4096
         bits = np.zeros((len(sched_list), b_pad), np.uint8)
@@ -785,6 +974,34 @@ class DeviceLoopback:
             np.float32(conf_threshold), np.float32(conf_search_limit),
             zero_carry(len(sched_list)))
         return _collect_results(out, len(sched_list), compact)
+
+    def run_events_frames_batch(self, frame_sched_list,
+                                lead_trail: tuple = (2, 2),
+                                conf_threshold: float = 1.5,
+                                conf_search_limit: float = 2.3):
+        """frame_sched_list: list of [F_i, n_data_bits] uint8 frame-bit
+        arrays (tx_device.tx_frame_schedule rows).  Works for ANY
+        nstopbits, fractional included — the synthesis path is
+        device_synthesize_frames."""
+        import jax.numpy as jnp
+
+        f_real = [fb.shape[0] for fb in frame_sched_list]
+        f_pad = ((max(f_real) + 511) // 512) * 512
+        nd = self.cfg.n_data_bits
+        bits = np.zeros((len(frame_sched_list), f_pad, nd), np.uint8)
+        for i, fb in enumerate(frame_sched_list):
+            bits[i, :fb.shape[0]] = fb
+        totals = np.asarray(
+            [lead_trail[0] * self.bit_ns + n * self.frame_len
+             + lead_trail[1] * self.bit_ns for n in f_real], np.int32)
+        fn, compact, use_mega = self._fn_for(
+            f_pad, len(frame_sched_list), True, tuple(lead_trail))
+        out = fn(
+            jnp.asarray(bits), jnp.asarray(totals),
+            np.float32(conf_threshold), np.float32(conf_search_limit),
+            zero_carry(len(frame_sched_list)),
+            jnp.asarray(f_real, np.int32))
+        return _collect_results(out, len(frame_sched_list), compact)
 
     def run_events(self, sched_bits: np.ndarray, conf_threshold: float = 1.5,
                    conf_search_limit: float = 2.3):
