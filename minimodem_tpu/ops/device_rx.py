@@ -216,7 +216,8 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                      input_dtype: str = "float32",
                      finalize: bool = True,
                      compact: bool = False,
-                     packed_input: bool = False):
+                     packed_input: bool = False,
+                     stop_on_overflow: bool = False):
     """Compile the full device receiver for a fixed scored length
     t_total (>= stream length in samples).
 
@@ -302,12 +303,11 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
     # bit-for-bit.  This is the TPU-native answer to the reference's
     # per-frame hot loop (src/minimodem.c:1248-1463).
     harvest_adv = frame_nsamples
-    k_harvest = min(8192, t_total // max(harvest_adv, 1) - 2)
     use_hybrid = (compact and hybrid_default_on()
-                  and harvest_adv > 0 and k_harvest >= 16
+                  and harvest_adv > 0
+                  and t_total // harvest_adv >= 16
                   and len(geom[1]["coarse"]) > 0
-                  and geom[1]["coarse"][0] == overscan
-                  and (k_harvest + 2) * harvest_adv <= t_total)
+                  and geom[1]["coarse"][0] == overscan)
 
     score_arrays = (None if packed_input
                     else make_score_packer(cfg_key, t_total, input_dtype))
@@ -614,7 +614,7 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                     st["ampl_total"].view(jnp.uint32),
                     st["carrier_nsamples"].view(jnp.uint32),
                     zb_u,
-                    zb_u,
+                    pos.view(jnp.uint32) if stop_on_overflow else zb_u,
                     jnp.full((B,), EV_NOCARRIER, jnp.uint32),
                     zb_u], axis=1)
                 frame_type = (jnp.uint32(EV_FRAME)
@@ -623,7 +623,9 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                                           jnp.uint32(0)))
                 frame_rec = jnp.stack([
                     blo, bhi, conf.view(jnp.uint32), ampl.view(jnp.uint32),
-                    fstart.view(jnp.uint32), zb_u, frame_type, zb_u], axis=1)
+                    fstart.view(jnp.uint32),
+                    pos.view(jnp.uint32) if stop_on_overflow else zb_u,
+                    frame_type, zb_u], axis=1)
                 record = jnp.where(drop_report[:, None], drop_rec, frame_rec)
                 st2 = emit_if(jnp.logical_or(got, drop_report), st, record)
 
@@ -645,43 +647,49 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                 reset_stats, jnp.int32(0), carrier_nsamples)
             if rx_one:
                 st2["stop"] = jnp.logical_or(st["stop"], drop_report)
+            if stop_on_overflow:
+                # -a re-arms carrier detection at EVERY no-confidence
+                # overflow, reported or not (minimodem.c:1295-1297 resets
+                # carrier_band before the carrier check) — the segment
+                # must end here so the host can retune
+                st2["stop"] = jnp.logical_or(st2["stop"], drop)
             if use_hybrid:
                 # a processed frame re-arms the harvest attempt
                 st2["h_failed"] = jnp.where(active, False, st["h_failed"])
             return st2
 
         # ---- hybrid harvest phase (vectorized locked-run decode) ----
+        kt_grid = t_total // harvest_adv       # global stride-grid rows
+
         def harvest(st):
             adv = jnp.int32(harvest_adv)
-            Lh = k_harvest * harvest_adv
             elig = jnp.logical_and(active_of(st), harvestable(st))
             start = st["pos"] + jnp.int32(overscan)  # candidate-0 offset
+            q = start // adv                         # grid row of frame 0
+            r = start - q * adv                      # per-stream phase
 
-            # strided gather of candidate-0 channel values at the k_h
-            # predicted frame offsets: one dynamic slice + a reshape
-            # column per stream/channel.  Near the stream end the slice
-            # start is pulled back by whole strides (m) so nothing is
-            # clamped out of alignment; the scan indices shift back by m.
-            def gather_one(r0, s, ch):
-                over = s + jnp.int32(Lh + harvest_adv) - jnp.int32(t_total)
-                m = jnp.maximum(jnp.int32(0), -(-over // adv))
-                s2 = jnp.maximum(jnp.int32(0), s - m * adv)
-                seg = jax.lax.dynamic_slice(
-                    packed, (r0 + ch, s2), (1, Lh))
-                vals = seg.reshape(k_harvest, harvest_adv)[:, 0]
-                vals = jnp.concatenate(
-                    [vals, jnp.zeros((k_harvest,), vals.dtype)])
-                return jax.lax.dynamic_slice(vals, (m,), (k_harvest,))
+            # candidate-0 values for EVERY grid row j at each stream's
+            # phase r: a static reshape of the packed row plus a masked
+            # integer reduce over the stride (exact — single nonzero
+            # uint32 term).  No dynamic slice starts, so XLA emits a
+            # plain fused masked-reduction over the array instead of a
+            # scalarized gather (the vmap(dynamic_slice) form measured
+            # 70x slower on TPU).
+            rsel = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, harvest_adv), 2) == r[:, None, None]
 
-            def gather(ch):
-                return jax.vmap(
-                    lambda r0, s: gather_one(r0, s, ch))(row0, start)
+            def phase_select(ch):
+                grid = packed.reshape(B, 8, t_total)[:, ch,
+                                                     :kt_grid * harvest_adv]
+                grid = grid.reshape(B, kt_grid, harvest_adv)
+                return jnp.sum(jnp.where(rsel, grid, jnp.uint32(0)),
+                               axis=2, dtype=jnp.uint32)   # [B, Kt]
 
             c_all = jax.lax.bitcast_convert_type(
-                gather(0), jnp.float32)                  # [B, K] conf_data
+                phase_select(0), jnp.float32)            # conf_data
             a_all = jax.lax.bitcast_convert_type(
-                gather(2), jnp.float32)                  # [B, K] ampl_data
-            b_all = gather(4)                            # [B, K] bits_lo
+                phase_select(2), jnp.float32)            # ampl_data
+            b_all = phase_select(4)                      # bits_lo
 
             # frame bits -> data word (compact post-processing, same as
             # the per-frame path)
@@ -702,19 +710,23 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
             else:
                 nonsync = jnp.ones_like(word_all, dtype=bool)
 
-            # exact replay of the per-frame f32 update chain, all
-            # streams in lane-parallel; k-th step commits iff every
-            # condition of the frame path holds with the EXACT running
-            # track/peak values (conditions match post(): no refine, no
-            # amplitude squelch, candidate-0 early exit, in bounds)
-            ktab = jnp.arange(k_harvest, dtype=jnp.int32)
+            # last grid row each stream may commit (position bound)
+            nmax = (total - jnp.int32(expect_nsamples) - st["pos"]) // adv
+            jmax = q + nmax                            # inclusive bound
+
+            # exact replay of the per-frame f32 update chain over the
+            # global grid index j (stream b's frame k sits at row
+            # q_b + k), all streams lane-parallel; step j commits iff
+            # every condition of the frame path holds with the EXACT
+            # running track/peak values (no refine, no amplitude
+            # squelch, candidate-0 early exit, in bounds)
+            jtab = jnp.arange(kt_grid, dtype=jnp.int32)
 
             def step(carryv, xs):
                 alive, track, peak, ctot, atot, L = carryv
-                c, a, ns, k = xs
-                in_bounds = (st["pos"] + k * adv
-                             + jnp.int32(expect_nsamples)) <= total
-                commit = alive & elig & in_bounds & ns
+                c, a, ns, j = xs
+                started = j >= q
+                commit = alive & elig & started & (j <= jmax) & ns
                 commit &= c >= conf_search_limit
                 commit &= c > jnp.float32(0.0)
                 commit &= c >= peak * jnp.float32(0.75)
@@ -727,26 +739,34 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                 ctot = jnp.where(commit, ctot + c, ctot)
                 atot = jnp.where(commit, atot + a, atot)
                 L = L + jnp.where(commit, jnp.int32(1), jnp.int32(0))
-                return (commit, track, peak, ctot, atot, L), None
+                alive = jnp.where(started, commit, alive)
+                return (alive, track, peak, ctot, atot, L), None
 
             carry0 = (elig, st["track_amplitude"], st["peak_confidence"],
                       st["conf_total"], st["ampl_total"],
                       jnp.zeros((B,), jnp.int32))
             (alive, track, peak, ctot, atot, L), _ = jax.lax.scan(
                 step, carry0,
-                (c_all.T, a_all.T, nonsync.T, ktab), unroll=8)
+                (c_all.T, a_all.T, nonsync.T, jtab), unroll=32)
 
             st = dict(st)
-            # contiguous byte write: words beyond L land past n_bytes+L
-            # and are overwritten by (or invisible to) later appends
-            ext = jnp.zeros((B, k_harvest), jnp.uint8)
-            buf = jnp.concatenate(
-                [st["bytes_buf"], ext], axis=1)
-            buf = jax.vmap(
-                lambda row, w, nb: jax.lax.dynamic_update_slice(
-                    row, w, (nb,)))(
-                buf, word_all.astype(jnp.uint8), st["n_bytes"])
-            st["bytes_buf"] = buf[:, :st["bytes_buf"].shape[1]]
+            # contiguous byte write: stream b's harvested words live at
+            # grid rows q_b..q_b+L-1.  Shift the whole word row into a
+            # ZERO scratch so row q lands at byte position n_bytes, then
+            # blend only [n_bytes, n_bytes+L) into the real buffer —
+            # rows before q / after q+L-1 must not clobber neighbors
+            cap = st["bytes_buf"].shape[1]
+            scratch = jnp.zeros((B, kt_grid + cap + kt_grid), jnp.uint8)
+            scratch = jax.vmap(
+                lambda row, w, s0: jax.lax.dynamic_update_slice(
+                    row, w, (s0,)))(
+                scratch, word_all.astype(jnp.uint8),
+                jnp.int32(kt_grid) + st["n_bytes"] - q)
+            cand = scratch[:, kt_grid:kt_grid + cap]
+            idx = jnp.arange(cap, dtype=jnp.int32)[None, :]
+            in_run = jnp.logical_and(idx >= st["n_bytes"][:, None],
+                                     idx < (st["n_bytes"] + L)[:, None])
+            st["bytes_buf"] = jnp.where(in_run, cand, st["bytes_buf"])
             st["n_bytes"] = st["n_bytes"] + L
             st["pos"] = st["pos"] + L * adv
             st["track_amplitude"] = track
