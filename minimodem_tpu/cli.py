@@ -455,11 +455,6 @@ def main(argv=None) -> int:
                     f"E: the {sa_backend} client library is not available "
                     "on this host; use --file mode.\n")
                 return 1
-        if not tx_mode and carrier_autodetect_threshold > 0.0:
-            sys.stderr.write(
-                "E: carrier autodetect (-a) is not supported with live "
-                "audio input; use --file.\n")
-            return 1
 
     # ============== TX ==============
     if tx_mode:
@@ -610,6 +605,20 @@ def _rx_live(cfg, rx_opts, decoder_name, usos, sa_backend, sa_device,
         out.flush()
 
     rxer = Receiver(cfg, rx_opts, codec, write_out)
+    if rx_opts.carrier_autodetect_threshold > 0.0:
+        # -a on a live stream: the reference's autodetect runs on any
+        # RECORD source (src/minimodem.c:1179-1220); run_live_autodetect
+        # consumes the chunk feed incrementally
+        def live_chunks():
+            while True:
+                c = stream.read(sample_rate // 2)
+                if c.size == 0:
+                    return
+                yield np.asarray(c, np.float32)
+
+        rxer.run_live_autodetect(live_chunks())
+        stream.close()
+        return 0
     sr = DeviceStreamReceiver(
         cfg, rx_opts.precision, rx_opts.rx_one,
         segment_len=1 << 16,            # ~1.4 s decode latency at 48 kHz

@@ -678,12 +678,23 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
             rsel = jax.lax.broadcasted_iota(
                 jnp.int32, (1, 1, harvest_adv), 2) == r[:, None, None]
 
+            # chunk the grid rows so the (B, chunk, adv) relayout temp
+            # stays ~tens of MB — a single whole-array reshape made XLA
+            # materialize a second 6 GB copy of `packed` (measured OOM
+            # at B=64 x 60 s)
+            j_chunk = max(64, (1 << 22) // max(harvest_adv, 1))
+
             def phase_select(ch):
-                grid = packed.reshape(B, 8, t_total)[:, ch,
-                                                     :kt_grid * harvest_adv]
-                grid = grid.reshape(B, kt_grid, harvest_adv)
-                return jnp.sum(jnp.where(rsel, grid, jnp.uint32(0)),
-                               axis=2, dtype=jnp.uint32)   # [B, Kt]
+                p3 = packed.reshape(B, 8, t_total)
+                outs = []
+                for j0 in range(0, kt_grid, j_chunk):
+                    j1 = min(kt_grid, j0 + j_chunk)
+                    seg = p3[:, ch, j0 * harvest_adv:j1 * harvest_adv]
+                    seg = seg.reshape(B, j1 - j0, harvest_adv)
+                    outs.append(jnp.sum(
+                        jnp.where(rsel, seg, jnp.uint32(0)),
+                        axis=2, dtype=jnp.uint32))
+                return jnp.concatenate(outs, axis=1)       # [B, Kt]
 
             c_all = jax.lax.bitcast_convert_type(
                 phase_select(0), jnp.float32)            # conf_data
@@ -958,7 +969,10 @@ class DeviceLoopback:
             x = jax.lax.dynamic_update_slice(x, s, (0, 0))
             if use_mega:
                 packed = jax.vmap(packer)(x).reshape(bsz * 8, t_total)
-                return kern(packed, total, jnp.stack([thr, lim]))
+                ci = jnp.zeros((bsz, 8), jnp.int32)
+                cf = jnp.zeros((bsz, 4), jnp.float32)
+                return kern(packed, total, jnp.stack([thr, lim]),
+                            ci, cf)[:2]
             out = rx_fn(x, total, thr, lim, carry)
             return out[:-1]  # drop carry
 
@@ -1034,12 +1048,14 @@ class DeviceReceiver:
     returns the event list."""
 
     def __init__(self, cfg: ModemConfig, precision: str = "auto",
-                 rx_one: bool = False, compact: str = "auto"):
+                 rx_one: bool = False, compact: str = "auto",
+                 stop_on_overflow: bool = False):
         self.cfg = cfg
         self.key = device_rx_key(cfg, precision)
         self.rx_one = rx_one
+        self.stop_on_overflow = stop_on_overflow
         if compact == "auto":
-            self.compact = cfg.n_data_bits <= 8
+            self.compact = cfg.n_data_bits <= 8 and not stop_on_overflow
         else:
             self.compact = bool(compact)
         # one-shot decodes route to the Pallas megakernel on TPU (same
@@ -1066,17 +1082,19 @@ class DeviceReceiver:
         but the last segment) for streaming decode."""
         b, L = samples.shape
         totals = np.asarray(totals, np.int32)
-        if self._mega is not None and carry is None and finalize:
-            events = self._mega.run_events_batch(
-                samples, totals, conf_threshold, conf_search_limit)
-            return events, zero_carry(b)
+        if self._mega is not None:
+            # megakernel serves one-shot AND carried/segmented decodes
+            # (round 3: streaming carry + finalize flag in the kernel)
+            return self._mega.run_events_batch(
+                samples, totals, conf_threshold, conf_search_limit,
+                carry=carry, finalize=finalize)
         t_total = _round_up_pow2(
             int(totals.max(initial=0)) + self.cfg.nsamples_overscan + 1)
         geo = geometry_from_config(self.cfg)
         in_dtype = "int16" if samples.dtype == np.int16 else "float32"
         fn, max_events, _ = _build_device_rx(
             self.key, t_total, self.rx_one, in_dtype, finalize,
-            self.compact)
+            self.compact, stop_on_overflow=self.stop_on_overflow)
         x = np.zeros((b, t_total + geo.halo), samples.dtype)
         x[:, :min(L, t_total + geo.halo)] = samples[:, :t_total + geo.halo]
         if carry is None:
@@ -1159,8 +1177,6 @@ class PipelinedReceiver:
         in_dtype = "int16" if samples.dtype == np.int16 else "float32"
         total_nf = self.segment_len - self._lookahead + self.cfg.expect_nsamples
         t_total = _round_up_pow2(total_nf + self.cfg.nsamples_overscan + 1)
-        fn, _, geo = _build_device_rx(
-            self.key, t_total, self.rx_one, in_dtype, False, self.compact)
         thr = np.float32(conf_threshold)
         lim = np.float32(conf_search_limit)
 
@@ -1173,8 +1189,69 @@ class PipelinedReceiver:
         tail_total = n - tail_start
         t_total_f = _round_up_pow2(
             tail_total + self.cfg.nsamples_overscan + 1)
-        fn_final, _, _ = _build_device_rx(
-            self.key, t_total_f, self.rx_one, in_dtype, True, self.compact)
+
+        # segments ride the megakernel when eligible (round 3: it takes
+        # the streaming carry + finalize flag), else the XLA while_loop
+        from .pallas_rx import mega_default_on, mega_supported
+
+        use_mega = (self.compact and mega_supported(self.key)
+                    and mega_default_on())
+        if use_mega:
+            from .pallas_rx import MegaReceiver, _mega_run_fn
+
+            fn_m, _ = _mega_run_fn(self.key, t_total, 1, self.rx_one,
+                                   in_dtype, False)
+            fn_f_m, _ = _mega_run_fn(self.key, t_total_f, 1, self.rx_one,
+                                     in_dtype, True)
+            thr2 = np.asarray([conf_threshold, conf_search_limit],
+                              np.float32)
+            # pos lives in ci[:, 0]; the rebase stays ON DEVICE so the
+            # carry never forces a host sync between segments
+            step_vec = np.zeros((1, 8), np.int32)
+            step_vec[0, 0] = self.step
+
+            def dispatch(dev, totals, carry, final):
+                ci, cf = carry
+                f = fn_f_m if final else fn_m
+                return f(dev, totals, thr2, ci, cf)
+
+            def collect(out):
+                return _collect_results(out[:2], 1, True)
+
+            def carry_of(out):
+                return (out[2], out[3])
+
+            def rebase(carry):
+                ci, cf = carry
+                return (ci - step_vec, cf)
+
+            carry0 = MegaReceiver.carry_to_arrays(None, 1)
+        else:
+            fn, _, _ = _build_device_rx(
+                self.key, t_total, self.rx_one, in_dtype, False,
+                self.compact)
+            fn_final, _, _ = _build_device_rx(
+                self.key, t_total_f, self.rx_one, in_dtype, True,
+                self.compact)
+
+            def dispatch(dev, totals, carry, final):
+                f = fn_final if final else fn
+                return f(dev, totals, thr, lim, carry)
+
+            def collect(out):
+                return _collect_results(out[:-1], 1, self.compact)
+
+            def carry_of(out):
+                return out[-1]
+
+            def rebase(carry):
+                carry = dict(carry)
+                carry["pos"] = carry["pos"] - np.int32(self.step)
+                return carry
+
+            carry0 = zero_carry(1)
+
+        geo = self.geo
 
         def put(seg, tt):
             x = np.zeros((1, tt + geo.halo), samples.dtype)
@@ -1183,26 +1260,23 @@ class PipelinedReceiver:
             return jax.device_put(x)
 
         totals_nf = np.asarray([total_nf], np.int32)
-        carry = zero_carry(1)
+        carry = carry0
         dev = put(samples[starts[0]: starts[0] + self.segment_len], t_total)
         for i, s0 in enumerate(starts):
-            out = fn(dev, totals_nf, thr, lim, carry)
-            carry = out[-1]
+            out = dispatch(dev, totals_nf, carry, False)
+            # rebase the device position onto the next segment's origin
+            carry = rebase(carry_of(out))
             # issue the NEXT transfer while this segment decodes
             if i + 1 < len(starts):
                 nxt = starts[i + 1]
                 dev = put(samples[nxt: nxt + self.segment_len], t_total)
             else:
                 dev = put(samples[tail_start:], t_total_f)
-            events = _collect_results(out[:-1], 1, self.compact)
-            # rebase the device position onto the next segment's origin
-            carry = dict(carry)
-            carry["pos"] = carry["pos"] - np.int32(self.step)
-            yield events[0]
+            yield collect(out)[0]
 
-        out = fn_final(dev, np.asarray([tail_total], np.int32), thr, lim,
-                       carry)
-        yield _collect_results(out[:-1], 1, self.compact)[0]
+        out = dispatch(dev, np.asarray([tail_total], np.int32), carry,
+                       True)
+        yield collect(out)[0]
 
 
 class DeviceStreamReceiver:
@@ -1215,12 +1289,25 @@ class DeviceStreamReceiver:
     def __init__(self, cfg: ModemConfig, precision: str = "auto",
                  rx_one: bool = False, segment_len: int = 1 << 19,
                  conf_threshold: float = 1.5,
-                 conf_search_limit: float = 2.3):
+                 conf_search_limit: float = 2.3,
+                 stop_on_overflow: bool = False,
+                 initial_carry: dict = None):
         from ..utils.cfloat import trunc_i
 
-        # streaming keeps the wide event path: byte positions in compact
-        # records are per-segment and would need rebasing
-        self.rx = DeviceReceiver(cfg, precision, rx_one, compact=False)
+        # compact events+bytes when eligible (round 3): byte positions
+        # in compact records are per-segment, so feed() rebases the
+        # CARRIER/NOCARRIER byte-position lanes onto the concatenated
+        # byte stream it returns.  stop_on_overflow (-a) keeps the wide
+        # path: its records carry scan positions instead
+        self.rx = DeviceReceiver(cfg, precision, rx_one, compact="auto"
+                                 if not stop_on_overflow else False,
+                                 stop_on_overflow=stop_on_overflow)
+        self.compact = self.rx.compact
+        # with stop_on_overflow the wide records carry their scan
+        # position in lane 5 (segment-relative); rebase it to the fed
+        # stream's coordinates so -a can replay the samplebuf phase
+        self._rebase_pos_lane = stop_on_overflow
+        self.consumed_total = 0
         self.cfg = cfg
         geo = geometry_from_config(cfg, precision)
         # scanning a non-final segment must stop early enough that every
@@ -1233,7 +1320,11 @@ class DeviceStreamReceiver:
                                4 * (self._lookahead + cfg.expect_nsamples))
         self.thr = conf_threshold
         self.lim = conf_search_limit
-        self._carry = None
+        # a caller-provided carry seeds the state machine mid-stream
+        # (-a re-arm: noconfidence counters persist across detection,
+        # reference src/minimodem.c:1280-1297); its pos must be 0 in
+        # this receiver's fed-stream coordinates
+        self._carry = initial_carry
         self._buf = np.zeros(0, np.float32)
         self._done = False
 
@@ -1248,27 +1339,75 @@ class DeviceStreamReceiver:
             samples[None, :], [total], self.thr, self.lim,
             self._carry, finalize)
         self._carry = carry
-        return events[0]
+        if self.compact:
+            return events[0]                    # (et, ep, byte_stream)
+        et, ep = events[0]
+        if self._rebase_pos_lane and len(et):
+            ep = ep.copy()
+            ep[:, 5] = ep[:, 5] + np.uint32(self.consumed_total)
+        return et, ep
+
+    @property
+    def stopped(self) -> bool:
+        """True once a stop condition (rx_one / overflow) fired."""
+        return self._carry is not None and bool(
+            np.asarray(self._carry["stop"])[0])
+
+    @property
+    def abs_pos(self) -> int:
+        """Current scan position in fed-stream coordinates."""
+        if self._carry is None:
+            return 0
+        return self.consumed_total + int(np.asarray(self._carry["pos"])[0])
+
+    @staticmethod
+    def _concat_compact(parts):
+        """Concatenate per-segment compact tuples, rebasing the
+        byte-position lanes (CARRIER pay[0], NOCARRIER pay[4]) onto the
+        concatenated byte stream so one render_events call consumes the
+        whole thing."""
+        evs_t, evs_p, evs_b = [], [], []
+        off = 0
+        for et, ep, by in parts:
+            if len(et):
+                ep = ep.copy()
+                car = et == EV_CARRIER
+                ep[car, 0] += np.uint32(off)
+                ep[~car, 4] += np.uint32(off)
+                evs_t.append(et)
+                evs_p.append(ep)
+            evs_b.append(np.asarray(by, np.uint8))
+            off += len(by)
+        by_all = (np.concatenate(evs_b) if evs_b
+                  else np.zeros(0, np.uint8))
+        if not evs_t:
+            return (np.zeros(0, np.int32), np.zeros((0, 6), np.uint32),
+                    by_all)
+        return np.concatenate(evs_t), np.concatenate(evs_p), by_all
 
     def feed(self, samples: np.ndarray):
-        """Returns (ev_type, ev_pay) decoded so far from complete segments."""
+        """Returns the events decoded so far from complete segments:
+        (ev_type, ev_pay) wide, or (ev_type, ev_pay, byte_stream) in
+        compact mode."""
         assert not self._done
         self._buf = np.concatenate(
             [self._buf, np.asarray(samples, np.float32)])
-        evs_t, evs_p = [], []
+        parts = []
         while len(self._buf) >= self.segment_len:
             seg = self._buf[:self.segment_len]
-            et, ep = self._process(seg, finalize=False)
-            evs_t.append(et)
-            evs_p.append(ep)
+            parts.append(self._process(seg, finalize=False))
             # consume up to the carried position; keep the unscanned tail
             consumed = int(self._carry["pos"][0])
             if consumed <= 0:
                 break
             self._buf = self._buf[consumed:]
             self._carry["pos"] = np.zeros_like(self._carry["pos"])
-        if evs_t:
-            return np.concatenate(evs_t), np.concatenate(evs_p)
+            self.consumed_total += consumed
+        if self.compact:
+            return self._concat_compact(parts)
+        if parts:
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
         return (np.zeros(0, np.int32), np.zeros((0, 6), np.uint32))
 
     def finish(self):

@@ -150,13 +150,24 @@ def _static_geom(cfg_key):
 
 
 @functools.lru_cache(maxsize=16)
-def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
+def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
+                  finalize: bool = True):
     """Compile the megakernel for a fixed packed-score length and batch.
 
     Consumes packed scores [B*8, t_total] uint32 (device_rx channel
     layout) and returns (ev [8, B, E] u32, n_events [B] i32,
     bytes_buf [B, E] u8, n_bytes [B] i32) — the compact-mode outputs of
-    _build_device_rx.
+    _build_device_rx — plus the carry-out arrays.
+
+    Streaming carry (round 3): the state machine enters from a caller
+    carry (SMEM [B, 8] i32 + [B, 4] f32) and exits its loop state the
+    same way, so segmented decodes (PipelinedReceiver /
+    DeviceStreamReceiver) ride this kernel; finalize=False skips the
+    end-of-stream NOCARRIER flush on non-final segments (the analogue of
+    the reference's sliding-samplebuf continuation,
+    src/minimodem.c:1144-1174).  Events and bytes stay per-segment —
+    byte positions in event records restart at 0 each call and are
+    rebased by the host consumer.
     """
     import jax
     import jax.numpy as jnp
@@ -236,9 +247,11 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
     valid_c_in = (cand_c_in >= 0).astype(np.int32)
     valid_f_in = (cand_f_in >= 0).astype(np.int32)
 
-    def kernel(total_ref, thr_ref, cand_c_ref, valid_c_ref, cand_f_ref,
+    def kernel(total_ref, thr_ref, carry_i_ref, carry_f_ref,
+               cand_c_ref, valid_c_ref, cand_f_ref,
                valid_f_ref, packed_hbm,
                ev_ref, nev_ref, bytes_ref, nbytes_ref,
+               ci_out_ref, cf_out_ref,
                win_vmem, ev_vmem, bytes_vmem, sem):
         b = pl.program_id(0)
         total = total_ref[b]
@@ -751,18 +764,34 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
                     ampl_tot, nframes, carrier_ns, n_ev, n_by, stop_f,
                     win_base, pred_new, byrow)
 
-        zf = jnp.float32(0.0)
         zi = jnp.int32(0)
         # win_base sentinel far below any pos forces the initial refill
         base0 = jnp.int32(-(1 << 30))
         st = jax.lax.while_loop(
             cond, body,
-            (zi, zi, zi, zf, zf, zf, zf, zi, zi, zi, zi, zi, base0, zi,
+            (carry_i_ref[b, 0], carry_i_ref[b, 1], carry_i_ref[b, 2],
+             carry_f_ref[b, 0], carry_f_ref[b, 1], carry_f_ref[b, 2],
+             carry_f_ref[b, 3], carry_i_ref[b, 3], carry_i_ref[b, 4],
+             zi, zi, carry_i_ref[b, 5], base0, zi,
              jnp.zeros((1, 128), jnp.int32)))
         (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
          nframes, carrier_ns, n_ev, n_by, stop_f, win_base, pred_fs,
          byrow) = st
         carrier = carrier_f != 0
+
+        # carry-out = loop-exit state (pre-flush, like the XLA path)
+        ci_out_ref[b, 0] = pos
+        ci_out_ref[b, 1] = carrier_f
+        ci_out_ref[b, 2] = noconf
+        ci_out_ref[b, 3] = nframes
+        ci_out_ref[b, 4] = carrier_ns
+        ci_out_ref[b, 5] = stop_f
+        ci_out_ref[b, 6] = zi
+        ci_out_ref[b, 7] = zi
+        cf_out_ref[b, 0] = track
+        cf_out_ref[b, 1] = peak
+        cf_out_ref[b, 2] = conf_tot
+        cf_out_ref[b, 3] = ampl_tot
 
         # flush the partial byte-ring row (lanes >= n_by & 127 hold
         # stale values, but reads are bounded by n_bytes)
@@ -770,18 +799,22 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
         def _():
             bytes_vmem[pl.ds(n_by // 128, 1), :] = byrow
 
-        @pl.when(carrier)
-        def _():
-            zi32 = jnp.int32(0)
-            zf32 = jnp.float32(0.0)
-            reci = jnp.stack([
-                nframes, zi32, zi32, carrier_ns, n_by, zi32,
-                jnp.int32(EV_NOCARRIER), zi32])
-            recf = jnp.stack([
-                zf32, conf_tot, ampl_tot, zf32, zf32, zf32, zf32, zf32])
-            store_event(n_ev, reci, recf)
+        if finalize:
+            @pl.when(carrier)
+            def _():
+                zi32 = jnp.int32(0)
+                zf32 = jnp.float32(0.0)
+                reci = jnp.stack([
+                    nframes, zi32, zi32, carrier_ns, n_by, zi32,
+                    jnp.int32(EV_NOCARRIER), zi32])
+                recf = jnp.stack([
+                    zf32, conf_tot, ampl_tot, zf32, zf32, zf32, zf32,
+                    zf32])
+                store_event(n_ev, reci, recf)
 
-        n_ev_final = n_ev + jnp.where(carrier, 1, 0)
+            n_ev_final = n_ev + jnp.where(carrier, 1, 0)
+        else:
+            n_ev_final = n_ev
 
         # flush VMEM accumulators to the outputs ([E,8] -> [1,8,E] etc);
         # mosaic requires the last two block dims be 8/128-divisible or
@@ -799,6 +832,8 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),       # total [B]
             pl.BlockSpec(memory_space=pltpu.SMEM),       # thresholds [2]
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # carry int [B,8]
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # carry f32 [B,4]
             pl.BlockSpec(memory_space=pltpu.VMEM),       # coarse cand [2,Kc]
             pl.BlockSpec(memory_space=pltpu.VMEM),       # coarse valid
             pl.BlockSpec(memory_space=pltpu.VMEM),       # fine cand [2,Kf]
@@ -812,12 +847,16 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
             pl.BlockSpec((1, b_rows, 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),       # byte ring (i32)
             pl.BlockSpec(memory_space=pltpu.SMEM),       # n_bytes [B]
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # carry int out
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # carry f32 out
         ),
         out_shape=(
             jax.ShapeDtypeStruct((batch, 8, e_pad), jnp.uint32),
             jax.ShapeDtypeStruct((batch,), jnp.int32),
             jax.ShapeDtypeStruct((batch, b_rows, 128), jnp.int32),
             jax.ShapeDtypeStruct((batch,), jnp.int32),
+            jax.ShapeDtypeStruct((batch, 8), jnp.int32),
+            jax.ShapeDtypeStruct((batch, 4), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((8, w_res), jnp.uint32),
@@ -827,13 +866,13 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
         ],
     )
 
-    def wrapper(packed, totals, thr2):
+    def wrapper(packed, totals, thr2, carry_i, carry_f):
         with jax.enable_x64(False):
             # pad so a refill DMA at any base <= t_total stays in bounds;
             # padding scores are zeros (conf 0.0 -> never selected)
             packed = jnp.pad(packed, ((0, 0), (0, w_res)))
-            ev, nev, byt, nby = fn(
-                totals, thr2,
+            ev, nev, byt, nby, ci, cf = fn(
+                totals, thr2, carry_i, carry_f,
                 jnp.asarray(cand_c_in), jnp.asarray(valid_c_in),
                 jnp.asarray(cand_f_in), jnp.asarray(valid_f_in),
                 packed)
@@ -844,7 +883,7 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int):
         ev_t = ev.transpose(1, 0, 2)
         byt2 = byt.reshape(byt.shape[0], -1).astype(jnp.uint8)
         flat = pack_compact_results(ev_t, nev, byt2, nby)
-        return flat, ev_t
+        return flat, ev_t, ci, cf
 
     return jax.jit(wrapper), max_events, e_pad
 
@@ -885,7 +924,7 @@ def mega_supported(cfg_key) -> bool:
 
 @functools.lru_cache(maxsize=32)
 def _mega_run_fn(cfg_key, t_total: int, batch: int, rx_one: bool,
-                 input_dtype: str):
+                 input_dtype: str, finalize: bool = True):
     """Global cache of the packer+megakernel program, so fresh receiver
     objects (one per decode call in the CLI) reuse traces and
     executables."""
@@ -895,11 +934,12 @@ def _mega_run_fn(cfg_key, t_total: int, batch: int, rx_one: bool,
     from .device_rx import make_score_packer
 
     packer = make_score_packer(cfg_key, t_total, input_dtype)
-    kern, max_events, e_pad = build_mega_rx(cfg_key, t_total, rx_one, batch)
+    kern, max_events, e_pad = build_mega_rx(cfg_key, t_total, rx_one,
+                                            batch, finalize)
 
-    def run(x, totals, thr2):
+    def run(x, totals, thr2, carry_i, carry_f):
         packed = jax.vmap(packer)(x).reshape(batch * 8, t_total)
-        return kern(packed, totals, thr2)
+        return kern(packed, totals, thr2, carry_i, carry_f)
 
     return jit_mosaic(run), max_events
 
@@ -921,12 +961,49 @@ class MegaReceiver:
             "perfect-capable (float64) geometries")
         self.rx_one = rx_one
 
-    def _fn_for(self, t_total: int, batch: int, input_dtype: str):
+    def _fn_for(self, t_total: int, batch: int, input_dtype: str,
+                finalize: bool = True):
         return _mega_run_fn(self.key, t_total, batch, self.rx_one,
-                            input_dtype)
+                            input_dtype, finalize)
+
+    @staticmethod
+    def carry_to_arrays(carry, b):
+        """Pack a CARRY_FIELDS dict into the kernel's SMEM arrays."""
+        ci = np.zeros((b, 8), np.int32)
+        cf = np.zeros((b, 4), np.float32)
+        if carry is not None:
+            ci[:, 0] = np.asarray(carry["pos"], np.int32)
+            ci[:, 1] = np.asarray(carry["carrier"]).astype(np.int32)
+            ci[:, 2] = np.asarray(carry["noconfidence"], np.int32)
+            ci[:, 3] = np.asarray(carry["nframes"], np.int32)
+            ci[:, 4] = np.asarray(carry["carrier_nsamples"], np.int32)
+            ci[:, 5] = np.asarray(carry["stop"]).astype(np.int32)
+            cf[:, 0] = np.asarray(carry["track_amplitude"], np.float32)
+            cf[:, 1] = np.asarray(carry["peak_confidence"], np.float32)
+            cf[:, 2] = np.asarray(carry["conf_total"], np.float32)
+            cf[:, 3] = np.asarray(carry["ampl_total"], np.float32)
+        return ci, cf
+
+    @staticmethod
+    def arrays_to_carry(ci, cf):
+        ci = np.asarray(ci)
+        cf = np.asarray(cf)
+        return {
+            "pos": ci[:, 0].copy(),
+            "carrier": ci[:, 1] != 0,
+            "noconfidence": ci[:, 2].copy(),
+            "track_amplitude": cf[:, 0].copy(),
+            "peak_confidence": cf[:, 1].copy(),
+            "conf_total": cf[:, 2].copy(),
+            "ampl_total": cf[:, 3].copy(),
+            "nframes": ci[:, 3].copy(),
+            "carrier_nsamples": ci[:, 4].copy(),
+            "stop": ci[:, 5] != 0,
+        }
 
     def run_events_batch(self, samples: np.ndarray, totals,
-                         conf_threshold: float, conf_search_limit: float):
+                         conf_threshold: float, conf_search_limit: float,
+                         carry=None, finalize: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -942,9 +1019,12 @@ class MegaReceiver:
             int(totals.max(initial=0)) + self.cfg.nsamples_overscan + 1)
         geo = geometry_from_config(self.cfg)
         in_dtype = "int16" if samples.dtype == np.int16 else "float32"
-        fn, max_events = self._fn_for(t_total, b, in_dtype)
+        fn, max_events = self._fn_for(t_total, b, in_dtype, finalize)
         x = np.zeros((b, t_total + geo.halo), samples.dtype)
         x[:, :min(L, t_total + geo.halo)] = samples[:, :t_total + geo.halo]
         thr2 = np.asarray([conf_threshold, conf_search_limit], np.float32)
-        out = fn(jnp.asarray(x), jnp.asarray(totals), jnp.asarray(thr2))
-        return _collect_results(out, b, compact=True)
+        ci, cf = self.carry_to_arrays(carry, b)
+        out = fn(jnp.asarray(x), jnp.asarray(totals), jnp.asarray(thr2),
+                 jnp.asarray(ci), jnp.asarray(cf))
+        events = _collect_results(out[:2], b, compact=True)
+        return events, self.arrays_to_carry(out[2], out[3])

@@ -184,25 +184,460 @@ class Receiver:
 
     # ------------------------------------------------------------------
     def _run_device_autodetect(self, samples: np.ndarray) -> int:
-        """-a: carrier autodetect decodes on the host state machine.
+        """-a: detection scans run host-side (scoring-free rfft probes on
+        the samplebuf grid, reference src/minimodem.c:1179-1220); each
+        detected burst then decodes END-TO-END ON THE DEVICE ENGINE with
+        the retuned geometry, entering with the carried state-machine
+        fields and exiting at the first no-confidence overflow (where
+        the reference re-arms detection, :1295-1297 — the device build's
+        stop_on_overflow mode).  The samplebuf refill/advance phase that
+        sets the next probe grid is reconstructed by an integer replay
+        over the segment's event positions (wide records carry each
+        iteration's scan position in lane 5).  Decision-exact vs the
+        host replay — tests/test_autodetect_device.py.
 
-        The reference re-arms detection on EVERY noconfidence overflow
-        (src/minimodem.c:1295-1297 resets carrier_band regardless of
-        carrier state), and the positions its detection FFTs probe after
-        a re-arm depend on the sliding samplebuf's refill/advance phase
-        (:1144-1177) carried through the preceding decode.  A device-
-        resident decode does not model the samplebuf, so a re-detection
-        scan restarted at the drop position probes a different 80-sample
-        chunk grid — measured on a two-burst stream, the phase offset
-        can keep every coarse candidate ~20 samples off the frame grid
-        and never re-acquire.  Decision-exact -a therefore runs the host
-        replay end-to-end; its frame scoring is still the batched device
-        scorer (ScoreProvider), so only the per-frame state machine and
-        the cheap one-bit detection FFTs run in python.
+        Round-2 note (superseded): the old implementation routed the
+        whole decode through the python host replay because the probe
+        grid depends on samplebuf state; the integer replay models that
+        state without running the per-frame machine in python.
         """
+        import copy
+
+        from ..ops.device_rx import (
+            EV_CARRIER,
+            EV_NOCARRIER,
+            DeviceReceiver,
+            zero_carry,
+        )
+        from ..utils.cfloat import round_half_up_i
+
         if samples.dtype == np.int16:
             samples = samples.astype(np.float32) / np.float32(32768.0)
-        return self._run_host(samples)
+        samples = np.ascontiguousarray(samples, np.float32)
+        cfg = self.cfg
+        opts = self.opts
+        total = len(samples)
+
+        # samplebuf sizing (reference: src/minimodem.c:1052-1071)
+        nbits = 1 + cfg.nstartbits + cfg.n_data_bits + 1
+        samplebuf_size = int(np.ceil(
+            np.float32(cfg.nsamples_per_bit))) * (nbits + 1)
+        samplebuf_size *= 2
+        if samplebuf_size < cfg.sample_rate // 12:
+            samplebuf_size = cfg.sample_rate // 12
+        half = samplebuf_size // 2
+        if cfg.expect_nsamples > half:
+            # the device EOF criterion (pos + expect <= total) matches
+            # the host's (nvalid < expect) only while refills keep
+            # nvalid >= half; exotic geometries fall back to the replay
+            return self._run_host(samples)
+
+        nspb = cfg.nsamples_per_bit
+        overscan = cfg.nsamples_overscan
+        try_max_c = round_half_up_i(f32_mul(nspb, 0.75)) + overscan
+        try_max_n = trunc_i(nspb) + overscan
+
+        pos = 0
+        nvalid = 0
+        advance = 0
+        carry = zero_carry(1)
+        receivers: dict = {}
+        ret = 0
+
+        def refill_step(p, nv, a):
+            """One loop-top samplebuf update (reference :1144-1174)."""
+            if a == samplebuf_size:
+                nv = 0
+                a = 0
+            if a:
+                if a > nv:
+                    return p, nv, a, False
+                p += a
+                nv -= a
+                a = 0
+            if nv < half:
+                nv += min(half, max(0, total - (p + nv)))
+            return p, nv, 0, True
+
+        try:
+            while True:
+                pos, nvalid, advance, ok = refill_step(pos, nvalid, advance)
+                if not ok or nvalid == 0:
+                    break
+
+                # ---- detection scan (reference :1179-1220) ----
+                nscan_f = nspb
+                if float(nscan_f) > cfg.fftsize:
+                    nscan_f = f32(cfg.fftsize)
+                nscan = trunc_i(nscan_f)
+                i = 0
+                band = -1
+                while np.float32(i) + nscan_f <= np.float32(nvalid):
+                    band = detect_carrier_band(
+                        samples[pos + i: pos + i + nscan], nscan,
+                        cfg.fftsize, opts.carrier_autodetect_threshold)
+                    if band >= 0:
+                        break
+                    i = trunc_i(np.float32(i) + nscan_f)
+                advance = trunc_i(np.float32(i) + nscan_f)
+                if advance > nvalid:
+                    advance = nvalid
+                if band < 0:
+                    continue
+                b_shift = -trunc_i(f32_div(
+                    f32_add(cfg.autodetect_shift,
+                            f32_div(cfg.band_width, 2.0)),
+                    cfg.band_width))
+                if cfg.inverted_freqs:
+                    b_shift *= -1
+                b_space = band + b_shift
+                if b_space < 1 or b_space >= cfg.nbands:
+                    continue
+                self._tuned_b_mark = band
+                # the pending detect advance is discarded once decode
+                # proceeds (the frame/no-conf paths reassign `advance`
+                # unconditionally, :1292-1325)
+                advance = 0
+
+                if nvalid < cfg.expect_nsamples:
+                    break
+
+                # ---- device decode segment (band fixed) ----
+                rx = receivers.get((band, b_space))
+                if rx is None:
+                    rcfg = copy.copy(cfg)
+                    rcfg.set_tones_by_bandshift(band, b_space - band)
+                    rx = DeviceReceiver(rcfg, opts.precision,
+                                        rx_one=opts.rx_one, compact=False,
+                                        stop_on_overflow=True)
+                    receivers[(band, b_space)] = rx
+                seg_carry = {k: np.asarray(v).copy()
+                             for k, v in carry.items()}
+                seg_carry["pos"][0] = pos
+                seg_carry["stop"][0] = False
+                events, carry = rx.run_events_batch(
+                    samples[None, :], [total],
+                    float(opts.confidence_threshold),
+                    float(opts.confidence_search_limit),
+                    carry=seg_carry, finalize=False)
+                ev_t, ev_p = events[0]
+                self._autodetect_render = True
+                ret = self.render_events(ev_t, ev_p)
+                pos_end = int(np.asarray(carry["pos"])[0])
+
+                # ---- samplebuf phase replay over the segment ----
+                pos, nvalid = self._replay_samplebuf(
+                    pos, nvalid, ev_t, ev_p, pos_end,
+                    try_max_c, try_max_n, samplebuf_size, total)
+
+                if opts.rx_one and any(
+                        int(t) == EV_NOCARRIER for t in ev_t):
+                    return ret
+                # end of stream: the device stopped on the position
+                # bound, not an overflow — no further re-arm possible
+                if not bool(np.asarray(carry["stop"])[0]):
+                    break
+                carry = {k: np.asarray(v).copy() for k, v in carry.items()}
+                carry["stop"][0] = False
+                advance = 0
+        except KeyboardInterrupt:
+            pass
+
+        if bool(np.asarray(carry["carrier"])[0]) and not opts.quiet:
+            self._report_no_carrier(
+                int(np.asarray(carry["nframes"])[0]),
+                int(np.asarray(carry["carrier_nsamples"])[0]),
+                np.asarray(carry["conf_total"])[0],
+                np.asarray(carry["ampl_total"])[0])
+        return ret
+
+    def run_live_autodetect(self, chunks) -> int:
+        """-a over a LIVE sample feed (an iterable of float32 chunks):
+        the reference runs autodetect on any RECORD stream
+        (src/minimodem.c:1179-1220 operates on the samplebuf regardless
+        of source).  Same structure as _run_device_autodetect, made
+        incremental: detection iterations run as soon as a half-buffer
+        of audio is available (the reference's blocking sa_read fills
+        refills completely except at EOF), and each detected burst
+        decodes on a retuned DeviceStreamReceiver until its
+        no-confidence overflow stop, when the samplebuf replay sets the
+        next probe grid."""
+        import copy
+
+        from ..ops.device_rx import (
+            EV_NOCARRIER,
+            DeviceStreamReceiver,
+            zero_carry,
+        )
+        from ..utils.cfloat import round_half_up_i
+
+        cfg = self.cfg
+        opts = self.opts
+
+        nbits = 1 + cfg.nstartbits + cfg.n_data_bits + 1
+        samplebuf_size = int(np.ceil(
+            np.float32(cfg.nsamples_per_bit))) * (nbits + 1)
+        samplebuf_size *= 2
+        if samplebuf_size < cfg.sample_rate // 12:
+            samplebuf_size = cfg.sample_rate // 12
+        half = samplebuf_size // 2
+
+        nspb = cfg.nsamples_per_bit
+        overscan = cfg.nsamples_overscan
+        try_max_c = round_half_up_i(f32_mul(nspb, 0.75)) + overscan
+        try_max_n = trunc_i(nspb) + overscan
+
+        buf = np.zeros(0, np.float32)
+        org = 0                      # absolute position of buf[0]
+        pos = 0
+        nvalid = 0
+        advance = 0
+        ended = False
+        mode_band = None             # (band, b_space) while decoding
+        rs = None
+        rs_origin = 0                # abs position of rs's fed stream[0]
+        seg_ev = []                  # events since the handoff
+        ret = 0
+        it = iter(chunks)
+        # state-machine carry persists ACROSS handoffs: noconfidence
+        # counters survive re-detection (reference :1280-1297), which is
+        # what makes post-drop probes re-run after every no-conf
+        # iteration instead of after a fresh 20-frame overflow
+        carry = zero_carry(1)
+
+        def pump_detect():
+            """Run detect iterations until band found, starvation, or
+            stream end.  Returns (band, b_space) or None."""
+            nonlocal pos, nvalid, advance, buf, org
+            while True:
+                avail = org + len(buf) - (pos + nvalid)
+                if advance == samplebuf_size:
+                    nvalid = 0
+                    advance = 0
+                if advance:
+                    if advance > nvalid:
+                        return None
+                    pos += advance
+                    nvalid -= advance
+                    advance = 0
+                if nvalid < half:
+                    if not ended and avail < half:
+                        return "starved"
+                    nvalid += min(half, max(0, avail))
+                if nvalid == 0:
+                    return None
+                nscan_f = nspb
+                if float(nscan_f) > cfg.fftsize:
+                    nscan_f = f32(cfg.fftsize)
+                nscan = trunc_i(nscan_f)
+                i = 0
+                band = -1
+                while np.float32(i) + nscan_f <= np.float32(nvalid):
+                    b0 = pos + i - org
+                    band = detect_carrier_band(
+                        buf[b0: b0 + nscan], nscan, cfg.fftsize,
+                        opts.carrier_autodetect_threshold)
+                    if band >= 0:
+                        break
+                    i = trunc_i(np.float32(i) + nscan_f)
+                advance = trunc_i(np.float32(i) + nscan_f)
+                if advance > nvalid:
+                    advance = nvalid
+                if band < 0:
+                    # drop consumed prefix to bound memory
+                    keep = max(0, pos - org)
+                    if keep > samplebuf_size:
+                        buf = buf[keep:]
+                        org = pos
+                    continue
+                b_shift = -trunc_i(f32_div(
+                    f32_add(cfg.autodetect_shift,
+                            f32_div(cfg.band_width, 2.0)),
+                    cfg.band_width))
+                if cfg.inverted_freqs:
+                    b_shift *= -1
+                b_space = band + b_shift
+                if b_space < 1 or b_space >= cfg.nbands:
+                    continue
+                advance = 0
+                return (band, b_space)
+
+        def handoff(band, b_space):
+            nonlocal rs, rs_origin, seg_ev, mode_band
+            rcfg = copy.copy(cfg)
+            rcfg.set_tones_by_bandshift(band, b_space - band)
+            self._tuned_b_mark = band
+            seed = {k: np.asarray(v).copy() for k, v in carry.items()}
+            seed["pos"][0] = 0          # rs's fed stream starts at `pos`
+            seed["stop"][0] = False
+            rs = DeviceStreamReceiver(
+                rcfg, opts.precision, opts.rx_one,
+                segment_len=1 << 16,
+                conf_threshold=float(opts.confidence_threshold),
+                conf_search_limit=float(opts.confidence_search_limit),
+                stop_on_overflow=True,
+                initial_carry=seed)
+            rs_origin = pos
+            seg_ev = []
+            mode_band = (band, b_space)
+
+        def after_stop(final: bool) -> bool:
+            """Replay the samplebuf over the finished segment; re-arm.
+            Returns True when decode should end entirely."""
+            nonlocal pos, nvalid, mode_band, rs, carry
+            if rs._carry is not None:
+                carry = {k: np.asarray(v).copy()
+                         for k, v in rs._carry.items()}
+                carry["stop"][0] = False
+            ev_t = (np.concatenate([e[0] for e in seg_ev])
+                    if seg_ev else np.zeros(0, np.int32))
+            ev_p = (np.concatenate([e[1] for e in seg_ev])
+                    if seg_ev else np.zeros((0, 6), np.uint32))
+            # rebase lane-5 (fed-stream coords) to absolute
+            if len(ev_p):
+                ev_p = ev_p.copy()
+                ev_p[:, 5] = ev_p[:, 5] + np.uint32(rs_origin)
+            pos_end = rs_origin + rs.abs_pos
+            pos, nvalid = self._replay_samplebuf(
+                pos, nvalid, ev_t, ev_p, pos_end,
+                try_max_c, try_max_n, samplebuf_size,
+                org + len(buf) if ended else None)
+            if opts.rx_one and any(
+                    int(t) == EV_NOCARRIER for t in ev_t):
+                return True
+            mode_band = None
+            rs = None
+            return False
+
+        try:
+            while True:
+                if mode_band is None:
+                    r = pump_detect()
+                    if r == "starved" or (r is None and not ended):
+                        try:
+                            chunk = next(it)
+                        except StopIteration:
+                            ended = True
+                            continue
+                        if len(chunk) == 0:
+                            ended = True
+                            continue
+                        buf = np.concatenate(
+                            [buf, np.asarray(chunk, np.float32)])
+                        continue
+                    if r is None:
+                        break
+                    handoff(*r)
+                    # feed everything buffered past the handoff position
+                    pending = buf[pos - org:]
+                    if len(pending):
+                        ev = rs.feed(pending)
+                        if len(ev[0]):
+                            seg_ev.append(ev)
+                            self._autodetect_render = True
+                            ret = self.render_events(*ev)
+                    continue
+                # DECODE mode: stream chunks into the retuned receiver
+                if rs.stopped:
+                    if after_stop(False):
+                        return ret
+                    continue
+                try:
+                    chunk = next(it)
+                except StopIteration:
+                    ended = True
+                    chunk = None
+                if chunk is None or len(chunk) == 0:
+                    ended = True
+                    ev = rs.finish()
+                    if len(ev[0]):
+                        seg_ev.append(ev)
+                        self._autodetect_render = True
+                        ret = self.render_events(*ev)
+                    if rs.stopped:
+                        # overflow fired before the buffered tail was
+                        # exhausted: re-arm detection over the remainder
+                        # (same as the file path's outer loop)
+                        if after_stop(True):
+                            return ret
+                        continue
+                    return ret
+                buf = np.concatenate(
+                    [buf, np.asarray(chunk, np.float32)])
+                ev = rs.feed(np.asarray(chunk, np.float32))
+                if len(ev[0]):
+                    seg_ev.append(ev)
+                    self._autodetect_render = True
+                    ret = self.render_events(*ev)
+                # bound live memory: drop audio before the scan position
+                keep = max(0, pos - org)
+                if keep > 4 * samplebuf_size and mode_band is None:
+                    buf = buf[keep:]
+                    org = pos
+        except KeyboardInterrupt:
+            pass
+        if rs is not None:
+            ev = rs.finish()
+            if len(ev[0]):
+                self._autodetect_render = True
+                ret = self.render_events(*ev)
+        return ret
+
+    def _replay_samplebuf(self, pos, nvalid, ev_t, ev_p, pos_end,
+                          try_max_c, try_max_n, samplebuf_size, total):
+        """Integer replay of the samplebuf advance/refill phase across a
+        device decode segment: wide frame records carry their scan
+        position (lane 5) and frame start (lane 4), so every iteration's
+        advance is reconstructible — frames advance by fstart +
+        frame_nsamples - overscan, no-confidence iterations by the
+        carrier-dependent try_max (reference :1144-1174, :1236-1251)."""
+        from ..ops.device_rx import EV_CARRIER, EV_FRAME, EV_NOCARRIER
+
+        cfg = self.cfg
+        half = samplebuf_size // 2
+        cursor = pos
+        nv = nvalid
+        carrier = False
+
+        def step(adv):
+            nonlocal cursor, nv
+            if adv == samplebuf_size:
+                nv = 0
+            else:
+                cursor += adv
+                nv -= adv
+            if nv < half:
+                # total=None = live stream not at EOF: a blocking
+                # sa_read refill always grants a full half-buffer
+                avail = half if total is None else max(
+                    0, total - (cursor + nv))
+                nv += min(half, avail)
+
+        def try_max():
+            return try_max_c if carrier else try_max_n
+
+        k = 0
+        n_ev = len(ev_t)
+        while k < n_ev:
+            et = int(ev_t[k])
+            if et == EV_CARRIER:
+                k += 1
+                continue
+            ev_pos = int(ev_p[k][5])
+            while cursor < ev_pos:
+                step(try_max())
+            if et == EV_FRAME:
+                fstart = int(np.int32(np.uint32(ev_p[k][4])))
+                step(fstart + cfg.frame_nsamples - cfg.nsamples_overscan)
+                carrier = True
+            elif et == EV_NOCARRIER:
+                step(try_max())      # the drop iteration's advance
+                carrier = False
+            k += 1
+        while cursor < pos_end:
+            step(try_max())
+        assert cursor == pos_end, (cursor, pos_end)
+        return cursor, nv
 
     # ------------------------------------------------------------------
     def _run_host_native(self, samples: np.ndarray) -> int:
@@ -334,7 +769,10 @@ class Receiver:
                 pos = bpos
                 if et == EV_CARRIER:
                     if not opts.quiet:
-                        self._render_carrier_line()
+                        self._render_carrier_line(
+                            self._tuned_b_mark
+                            if getattr(self, "_autodetect_render", False)
+                            else None)
                     self.codec.reset()
                 elif et == EV_NOCARRIER:
                     if not opts.quiet:
@@ -349,7 +787,10 @@ class Receiver:
             pay = ev_pay[k]
             if et == EV_CARRIER:
                 if not opts.quiet:
-                    self._render_carrier_line()
+                    self._render_carrier_line(
+                        self._tuned_b_mark
+                        if getattr(self, "_autodetect_render", False)
+                        else None)
                 self.codec.reset()
             elif et == EV_FRAME:
                 bits = int(pay[0]) | (int(pay[1]) << 32)

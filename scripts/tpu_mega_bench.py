@@ -46,10 +46,10 @@ def main():
 
     mr = MegaReceiver(m.cfg, "float32")
     t0 = time.perf_counter()
-    mega = mr.run_events_batch(x, totals, 1.5, 2.3)
+    mega, _ = mr.run_events_batch(x, totals, 1.5, 2.3)
     print(f"mega compile+run: {time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
-    mega = mr.run_events_batch(x, totals, 1.5, 2.3)
+    mega, _ = mr.run_events_batch(x, totals, 1.5, 2.3)
     dt_m = time.perf_counter() - t0
     print(f"mega warm: {dt_m*1e3:.1f} ms -> {audio_sec/dt_m:.0f}x", flush=True)
 

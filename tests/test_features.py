@@ -256,3 +256,23 @@ def test_auto_carrier_rearm_engine_parity():
         assert err.count("NOCARRIER") == 2, (engine, err)
     assert outs["device"][1] == outs["host"][1], (
         outs["device"][1], outs["host"][1])
+
+
+def test_manpage_current():
+    """docs/minimodem-tpu.1 must be regenerable from MANUAL.md (the
+    reference ships a man page built from ronn source,
+    src/Makefile.am:27-29; here gen_manpage.py renders MANUAL.md)."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "gen_manpage.py"),
+         "--check"], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    with open(os.path.join(root, "docs", "minimodem-tpu.1")) as f:
+        roff = f.read()
+    for needle in (".SH SYNOPSIS", ".SH NAME", "--auto-carrier",
+                   ".SH STATS LINES"):
+        assert needle in roff, needle

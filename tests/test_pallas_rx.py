@@ -36,7 +36,7 @@ def _mega_vs_device(monkeypatch, m, waves, spec=None):
 
         ref_events, _ = DeviceReceiver(m.cfg).run_events_batch(
             batch, totals, 1.5, 2.3)
-        mega_events = P.MegaReceiver(m.cfg).run_events_batch(
+        mega_events, _ = P.MegaReceiver(m.cfg).run_events_batch(
             batch, totals, 1.5, 2.3)
         for i in range(len(waves)):
             assert len(ref_events[i]) == len(mega_events[i])
@@ -113,3 +113,120 @@ def test_mega_parity_fractional_timing(monkeypatch, mode, payload):
     must replay identically through the fast-commit chain."""
     m = FskModem(mode)
     _mega_vs_device(monkeypatch, m, [m.modulate(payload)])
+
+
+def test_mega_streaming_carry(monkeypatch):
+    """Round 3: the megakernel takes a streaming carry + finalize flag.
+    A segmented decode riding it (DeviceStreamReceiver -> DeviceReceiver
+    -> MegaReceiver, interpret mode) must match the one-shot XLA decode
+    byte-for-byte AND stats-line-for-stats-line, including a carrier gap
+    spanning a segment boundary (the analogue of the reference's sliding
+    samplebuf, src/minimodem.c:1144-1174)."""
+    import io
+
+    from jax.experimental import pallas as pl
+
+    from minimodem_tpu.codecs import get_codec
+    from minimodem_tpu.config import RxOptions
+    from minimodem_tpu.ops.device_rx import DeviceStreamReceiver
+    from minimodem_tpu.rx.engine import Receiver
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+
+    from minimodem_tpu.ops import pallas_rx as P
+
+    P.build_mega_rx.cache_clear()
+    try:
+        m = FskModem("1200")
+        p1, p2 = b"carry across segment boundaries", b"after the gap"
+        gap = np.zeros(48000, np.float32)
+        samples = np.concatenate(
+            [m.modulate(p1), gap, m.modulate(p2)]).astype(np.float32)
+
+        def render(parts):
+            sink, errs = io.BytesIO(), []
+            rx = Receiver(m.cfg, RxOptions(), get_codec("ascii8"),
+                          sink.write, errs.append)
+            for p in parts:
+                rx.render_events(*p)
+            return sink.getvalue(), "".join(errs)
+
+        # reference: wide XLA one-shot
+        ref = DeviceReceiver(m.cfg, compact=False).run_events(
+            samples, 1.5, 2.3)
+        out1, err1 = render([ref])
+        assert out1 == p1 + p2
+
+        # mega streaming: force the mega route on the CPU backend
+        monkeypatch.setenv("MINIMODEM_TPU_MEGAKERNEL", "1")
+        sr = DeviceStreamReceiver(m.cfg, segment_len=1 << 15)
+        assert sr.compact and sr.rx._mega is not None
+        parts = []
+        for off in range(0, len(samples), 20000):
+            parts.append(sr.feed(samples[off:off + 20000]))
+        parts.append(sr.finish())
+        out2, err2 = render(parts)
+        assert out2 == p1 + p2
+        assert err1 == err2, (err1, err2)
+    finally:
+        P.build_mega_rx.cache_clear()
+
+
+def test_mega_pipelined_carry(monkeypatch):
+    """PipelinedReceiver's segmented path through the megakernel
+    (interpret mode) must match its XLA-segment path byte-for-byte."""
+    import io
+
+    from jax.experimental import pallas as pl
+
+    from minimodem_tpu.codecs import get_codec
+    from minimodem_tpu.config import RxOptions
+    from minimodem_tpu.ops.device_rx import PipelinedReceiver
+    from minimodem_tpu.rx.engine import Receiver
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+
+    from minimodem_tpu.ops import pallas_rx as P
+
+    P.build_mega_rx.cache_clear()
+    try:
+        m = FskModem("1200")
+        p1 = bytes(33 + (i % 94) for i in range(300))
+        p2 = b"tail burst"
+        gap = np.zeros(48000, np.float32)
+        samples = np.concatenate(
+            [m.modulate(p1), gap, m.modulate(p2)]).astype(np.float32)
+
+        def render_all(run):
+            sink, errs = io.BytesIO(), []
+            rx = Receiver(m.cfg, RxOptions(), get_codec("ascii8"),
+                          sink.write, errs.append)
+            for seg in run:
+                rx.render_events(*seg)
+            return sink.getvalue(), "".join(errs)
+
+        monkeypatch.setenv("MINIMODEM_TPU_MEGAKERNEL", "0")
+        pr = PipelinedReceiver(m.cfg, segment_len=1 << 16)
+        assert len(samples) > pr.segment_len
+        out1, err1 = render_all(pr.run(samples, 1.5, 2.3))
+        assert out1 == p1 + p2
+
+        monkeypatch.setenv("MINIMODEM_TPU_MEGAKERNEL", "1")
+        pr2 = PipelinedReceiver(m.cfg, segment_len=1 << 16)
+        out2, err2 = render_all(pr2.run(samples, 1.5, 2.3))
+        assert out2 == p1 + p2
+        assert err1 == err2, (err1, err2)
+    finally:
+        P.build_mega_rx.cache_clear()

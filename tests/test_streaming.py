@@ -27,6 +27,18 @@ def _render(cfg, ev_t, ev_p):
     return sink.getvalue(), "".join(events)
 
 
+def _render_parts(cfg, parts):
+    """Render a sequence of event tuples (wide 2-tuples or compact
+    3-tuples) through one Receiver; returns (bytes, stderr)."""
+    sink = io.BytesIO()
+    events = []
+    rx = Receiver(cfg, RxOptions(), get_codec("ascii8"),
+                  sink.write, events.append)
+    for p in parts:
+        rx.render_events(*p)
+    return sink.getvalue(), "".join(events)
+
+
 @pytest.mark.parametrize("feed_size", [4096, 30000])
 def test_streaming_matches_oneshot(feed_size):
     m = FskModem("1200")
@@ -38,7 +50,35 @@ def test_streaming_matches_oneshot(feed_size):
     out1, ev1 = _render(m.cfg, ev_t1, ev_p1)
     assert out1 == payload
 
+    # streaming is compact by default now (round 3: events+bytes with
+    # per-segment byte-position rebasing); bytes AND stats lines must
+    # match the wide one-shot decode
     sr = DeviceStreamReceiver(m.cfg, segment_len=1 << 15)
+    assert sr.compact
+    parts = []
+    for off in range(0, len(samples), feed_size):
+        parts.append(sr.feed(samples[off:off + feed_size]))
+    parts.append(sr.finish())
+    out2, ev2 = _render_parts(m.cfg, parts)
+
+    assert out2 == payload
+    assert ev1 == ev2, (ev1, ev2)
+
+
+@pytest.mark.parametrize("feed_size", [4096, 30000])
+def test_streaming_wide_matches_oneshot(feed_size):
+    """The wide (non-compact) streaming path stays decision-exact too —
+    it serves stop_on_overflow (-a) and wide-word geometries."""
+    m = FskModem("1200")
+    payload = bytes((33 + (i % 94)) for i in range(600))
+    samples = m.modulate(payload)
+
+    one = DeviceReceiver(m.cfg, compact=False)
+    ev_t1, ev_p1 = one.run_events(samples, 1.5, 2.3)
+
+    sr = DeviceStreamReceiver(m.cfg, segment_len=1 << 15)
+    sr.rx = DeviceReceiver(m.cfg, compact=False)
+    sr.compact = False
     parts_t, parts_p = [], []
     for off in range(0, len(samples), feed_size):
         et, ep = sr.feed(samples[off:off + feed_size])
@@ -49,10 +89,7 @@ def test_streaming_matches_oneshot(feed_size):
     parts_p.append(ep)
     ev_t2 = np.concatenate(parts_t)
     ev_p2 = np.concatenate(parts_p)
-    out2, ev2 = _render(m.cfg, ev_t2, ev_p2)
 
-    assert out2 == payload
-    assert ev1 == ev2, (ev1, ev2)
     assert np.array_equal(ev_t1, ev_t2)
     assert np.array_equal(ev_p1, ev_p2)
 
@@ -109,8 +146,6 @@ def test_streaming_multiple_carriers():
     for off in range(0, len(samples), 20000):
         parts.append(sr.feed(samples[off:off + 20000]))
     parts.append(sr.finish())
-    ev_t2 = np.concatenate([p[0] for p in parts])
-    ev_p2 = np.concatenate([p[1] for p in parts])
-    out2, ev2 = _render(m.cfg, ev_t2, ev_p2)
+    out2, ev2 = _render_parts(m.cfg, parts)
     assert out2 == p1 + p2
     assert ev1 == ev2
