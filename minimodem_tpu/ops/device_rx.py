@@ -202,6 +202,57 @@ def make_score_packer(cfg_key, t_total: int, input_dtype: str):
     return score_arrays
 
 
+def make_score_packer_planes(cfg_key, t_total: int, input_dtype: str):
+    """Traced fn x[t_total + halo] -> channel planes [n_ch, t_total]
+    uint32 (pallas_score.plane_rows layout) — the megakernel's input
+    form (round 3).  The v2 8-row packed form moves 32 B/offset where
+    the common geometry carries 12 B of information (conf_sync/ampl_sync
+    alias the data channels without --sync-byte, bits_hi is zero for
+    n_bits <= 32, rows 6/7 are always zero); emitting only the distinct
+    planes (+1 never-written DMA-alignment pad row) attacks the
+    measured ~110 GB/s scorer write wall (ROADMAP item 1; reference hot
+    loop analogue: src/fsk.c:117-174).
+
+    Dual-expect / wide-bits geometries return the v2 8-row layout
+    unchanged (rows match v2 order).  Uses the fused Pallas scorer's
+    planes mode when eligible; otherwise gathers the planes from the
+    legacy 8-row packer (CPU/interpret paths).
+    Returns (fn, n_ch, rows)."""
+    from .pallas_score import (
+        fused_packer_eligible,
+        make_fused_packer,
+        plane_rows,
+    )
+
+    geo = geo_from_key(cfg_key)
+    n_ch, rows = plane_rows(geo.n_bits, geo.req_data, geo.req_sync)
+    if n_ch == 8:
+        # v2 layout IS the plane layout here (legacy row order)
+        return (make_score_packer(cfg_key, t_total, input_dtype),
+                n_ch, rows)
+
+    if fused_packer_eligible(geo, t_total):
+        basis_np = make_basis(geo, np.float32)
+        fused = make_fused_packer(geo, basis_np, t_total, planes=True)
+
+        def score_planes(x):
+            if input_dtype == "int16":
+                x = x.astype(jnp.float32) / jnp.float32(32768.0)
+            return fused(x)
+
+        return score_planes, n_ch, rows
+
+    legacy = make_score_packer(cfg_key, t_total, input_dtype)
+    # gather [cd, ad, bl, pad] from the legacy 8-row form (row 6 is the
+    # always-zero pad source)
+    gather_np = np.asarray([0, 2, 4, 6], np.int32)
+
+    def score_planes(x):
+        return legacy(x)[jnp.asarray(gather_np)]
+
+    return score_planes, n_ch, rows
+
+
 def hybrid_default_on() -> bool:
     """Hybrid harvester dispatch: on by default for compact geometries;
     MINIMODEM_TPU_HYBRID=0 falls back to the plain while_loop."""
@@ -944,7 +995,8 @@ class DeviceLoopback:
         use_mega = (compact and mega_supported(self.key)
                     and mega_default_on())
         if use_mega:
-            packer = make_score_packer(self.key, t_total, "float32")
+            packer, n_ch_mega, _ = make_score_packer_planes(
+                self.key, t_total, "float32")
             kern, _, _ = build_mega_rx(
                 self.key, t_total, self._rx_one, batch)
         else:
@@ -968,7 +1020,8 @@ class DeviceLoopback:
             x = jnp.zeros((bsz, pad_to), jnp.float32)
             x = jax.lax.dynamic_update_slice(x, s, (0, 0))
             if use_mega:
-                packed = jax.vmap(packer)(x).reshape(bsz * 8, t_total)
+                packed = jax.vmap(packer)(x).reshape(
+                    bsz * n_ch_mega, t_total)
                 ci = jnp.zeros((bsz, 8), jnp.int32)
                 cf = jnp.zeros((bsz, 4), jnp.float32)
                 return kern(packed, total, jnp.stack([thr, lim]),

@@ -154,8 +154,10 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
                   finalize: bool = True):
     """Compile the megakernel for a fixed packed-score length and batch.
 
-    Consumes packed scores [B*8, t_total] uint32 (device_rx channel
-    layout) and returns (ev [8, B, E] u32, n_events [B] i32,
+    Consumes score planes [B*n_ch, t_total] uint32 (round-3 v3 layout,
+    make_score_packer_planes — the common geometry ships 3 rows/offset
+    instead of v2's 8, 12 B vs 32 B, attacking the measured ~110 GB/s
+    scorer data-movement wall) and returns (ev [8, B, E] u32, n_events [B] i32,
     bytes_buf [B, E] u8, n_bytes [B] i32) — the compact-mode outputs of
     _build_device_rx — plus the carry-out arrays.
 
@@ -181,6 +183,21 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
 
     nstop_shift = 0 if np.uint32(nstopbits_bits).view(np.float32) == 0 else 1
     assert n_data_bits <= 8
+
+    # channel-plane input layout (round 3): [B * n_ch, t_total] u32
+    # (make_score_packer_planes).  The common geometry has n_ch = 4
+    # (cd, ad, bl + an alignment pad row the scorer never writes), so
+    # TWO streams share each 8-row-aligned DMA block — mosaic requires
+    # HBM row slices 8-aligned in start and size — and the kernel picks
+    # the stream's half by program parity.  Dual-expect / wide-bits
+    # geometries use the full 8-row v2 layout (n_ch = 8, roff = 0).
+    from .pallas_score import plane_rows
+
+    n_ch, prow = plane_rows(n_bits, req_data, req_sync)
+    half_mode = n_ch == 4
+    r_cd, r_cs = prow["cd"], prow["cs"]
+    r_ad, r_as = prow["ad"], prow["as_"]
+    r_bl = prow["bl"]
 
     spec_depth = _spec_depth()
     geom = _static_geom(cfg_key)
@@ -260,13 +277,31 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
         lane_iota = jax.lax.broadcasted_iota(
             jnp.int32, (1, w_fetch), 1)               # [1, W_FETCH]
 
+        # channel accessor over a loaded [8, W] window block.  In half
+        # mode stream b's 4 planes are the upper or lower half of its
+        # shared 8-row DMA block (parity of b) — a scalar-predicate row
+        # select, no dynamic sublane indexing (mosaic-unfriendly).
+        if half_mode:
+            odd_half = (b % 2) == 1
+
+            def ch(blk, r):
+                return jnp.where(odd_half, blk[r + 4, :], blk[r, :])
+        else:
+
+            def ch(blk, r):
+                return blk[r, :]
+
         def refill(pos):
-            """DMA [8, W_RES] at a 128-aligned base into the resident
-            window (runs only when the fetch block would fall off its
-            end — every ~W_EXTRA/frame_advance frames)."""
+            """DMA the stream's [8, W_RES] score block at a 128-aligned
+            base into the resident window (runs only when the fetch
+            block would fall off its end — every ~W_EXTRA/frame_advance
+            frames).  Row start/size must be 8-aligned (mosaic), hence
+            the shared block in half mode."""
             base = pl.multiple_of((pos // W_LANES) * W_LANES, W_LANES)
+            row0 = ((b // 2) * 8) if half_mode else (b * 8)
+            row0 = pl.multiple_of(row0, 8)
             dma = pltpu.make_async_copy(
-                packed_hbm.at[pl.ds(b * 8, 8), pl.ds(base, w_res)],
+                packed_hbm.at[pl.ds(row0, 8), pl.ds(base, w_res)],
                 win_vmem, sem)
             dma.start()
             dma.wait()
@@ -274,8 +309,9 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
         def find_frame(blk, off, carrier_i, expect_i, cand_ref, valid_ref,
                        limit):
             """Vectorized replay of the center-out scan over the fetched
-            block.  blk: loaded [8, W_FETCH] u32 score channels; off =
-            lane offset of candidate 0 within the block (in [0, 128));
+            block.  blk: loaded [8, W_FETCH] u32 window block (score
+            planes, half-selected via ch()); off = lane offset of
+            candidate 0 within the block (in [0, 128));
             cand_ref/valid_ref: [2, K] candidate table (coarse or fine)."""
             K = cand_ref.shape[1]
             clist = jnp.where(carrier_i == 1,
@@ -285,9 +321,13 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
             lanes = off + jnp.maximum(clist, 0)                     # [K]
             # candidate one-hots [K, W_FETCH]
             oh = lane_iota == lanes[:, None]
-            cd = jax.lax.bitcast_convert_type(blk[0, :], jnp.float32)
-            cs = jax.lax.bitcast_convert_type(blk[1, :], jnp.float32)
-            ce = jnp.where(expect_i == 0, cd, cs)                   # [W]
+            cd = jax.lax.bitcast_convert_type(ch(blk, r_cd), jnp.float32)
+            if r_cs == r_cd:
+                ce = cd                      # planes alias: one expect
+            else:
+                cs = jax.lax.bitcast_convert_type(ch(blk, r_cs),
+                                                  jnp.float32)
+                ce = jnp.where(expect_i == 0, cd, cs)               # [W]
             c = jnp.sum(jnp.where(oh, ce[None, :], 0.0), axis=1,
                         dtype=jnp.float32)                          # [K]
             c = jnp.where(jnp.logical_or(~vmask, jnp.isnan(c)),
@@ -328,17 +368,20 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
             # truncation"); sum in int32
             poshot = jnp.sum((first[:, None] & oh).astype(jnp.int32),
                              axis=0, dtype=jnp.int32) > 0           # [W]
-            ae = jnp.where(expect_i == 0,
-                           jax.lax.bitcast_convert_type(blk[2, :],
-                                                        jnp.float32),
-                           jax.lax.bitcast_convert_type(blk[3, :],
-                                                        jnp.float32))
+            advec = jax.lax.bitcast_convert_type(ch(blk, r_ad),
+                                                 jnp.float32)
+            if r_as == r_ad:
+                ae = advec
+            else:
+                ae = jnp.where(expect_i == 0, advec,
+                               jax.lax.bitcast_convert_type(
+                                   ch(blk, r_as), jnp.float32))
             a = jnp.sum(jnp.where(poshot, ae, 0.0), dtype=jnp.float32)
             # mosaic has no unsigned reductions: pick via a bit-preserving
             # int32 sum (exactly one hot position)
             blo = jnp.sum(
                 jnp.where(poshot,
-                          jax.lax.bitcast_convert_type(blk[4, :],
+                          jax.lax.bitcast_convert_type(ch(blk, r_bl),
                                                        jnp.int32),
                           jnp.int32(0)), dtype=jnp.int32)
             zf = jnp.float32(0.0)
@@ -590,11 +633,11 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
                                         W_LANES)
                     blkk = win_vmem[:, pl.ds(lk, 128)]       # [8, 128]
                     oh = lane128 == (p - lk)
-                    cd = jax.lax.bitcast_convert_type(blkk[0, :],
+                    cd = jax.lax.bitcast_convert_type(ch(blkk, r_cd),
                                                       jnp.float32)
-                    ad = jax.lax.bitcast_convert_type(blkk[2, :],
+                    ad = jax.lax.bitcast_convert_type(ch(blkk, r_ad),
                                                       jnp.float32)
-                    bd = jax.lax.bitcast_convert_type(blkk[4, :],
+                    bd = jax.lax.bitcast_convert_type(ch(blkk, r_bl),
                                                       jnp.int32)
                     cs.append(jnp.sum(jnp.where(oh, cd, 0.0),
                                       dtype=jnp.float32))
@@ -869,8 +912,11 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
     def wrapper(packed, totals, thr2, carry_i, carry_f):
         with jax.enable_x64(False):
             # pad so a refill DMA at any base <= t_total stays in bounds;
-            # padding scores are zeros (conf 0.0 -> never selected)
-            packed = jnp.pad(packed, ((0, 0), (0, w_res)))
+            # padding scores are zeros (conf 0.0 -> never selected).  In
+            # half mode an odd batch also pads 4 rows so the last
+            # stream's shared 8-row DMA block exists.
+            row_pad = 4 if (half_mode and batch % 2) else 0
+            packed = jnp.pad(packed, ((0, row_pad), (0, w_res)))
             ev, nev, byt, nby, ci, cf = fn(
                 totals, thr2, carry_i, carry_f,
                 jnp.asarray(cand_c_in), jnp.asarray(valid_c_in),
@@ -931,14 +977,15 @@ def _mega_run_fn(cfg_key, t_total: int, batch: int, rx_one: bool,
     import jax
 
     from ..utils.aot import jit_mosaic
-    from .device_rx import make_score_packer
+    from .device_rx import make_score_packer_planes
 
-    packer = make_score_packer(cfg_key, t_total, input_dtype)
+    packer, n_ch, _ = make_score_packer_planes(cfg_key, t_total,
+                                               input_dtype)
     kern, max_events, e_pad = build_mega_rx(cfg_key, t_total, rx_one,
                                             batch, finalize)
 
     def run(x, totals, thr2, carry_i, carry_f):
-        packed = jax.vmap(packer)(x).reshape(batch * 8, t_total)
+        packed = jax.vmap(packer)(x).reshape(batch * n_ch, t_total)
         return kern(packed, totals, thr2, carry_i, carry_f)
 
     return jit_mosaic(run), max_events

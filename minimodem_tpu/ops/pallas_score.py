@@ -97,12 +97,44 @@ def supported(nb: int, n_bits: int, max_begin: int = 0,
     return _pick_tile(nb, max_begin, t_total) is not None
 
 
+def plane_rows(n_bits: int, req_data, req_sync):
+    """Channel-plane layout (round 3, v3): the v2 packed form writes 8
+    u32 rows per offset (32 B) but two are always zero, conf_sync/
+    ampl_sync duplicate the data channels whenever the expect strings
+    match (every mode without --sync-byte), and bits_hi is zero for
+    n_bits <= 32 — so the common case moves 12 B of information in a
+    32 B stream, and the scorer's OUT write is the measured ~110 GB/s
+    data-movement wall (ROADMAP item 1).
+
+    Mosaic constraint shaping the layout: HBM DMA row slices must be
+    8-aligned in start AND size (a [b*3, 3) slice of a (8,128)-tiled
+    memref is rejected — same failure as ROADMAP's 6-row negative
+    result).  So the common case uses FOUR rows per stream (cd, ad, bl
+    + one never-written pad row): two streams share one 8-aligned DMA
+    block and the scorer writes only 3 rows (12 B/offset).  Dual-expect
+    or wide-bits geometries keep the full 8-row v2 layout (rows in v2
+    order), where every slice is naturally aligned.
+
+    Returns (n_ch, rows): n_ch in {4, 8}; rows = dict(cd, cs, ad, as_,
+    bl, bh, written); duplicate channels alias the same row; bh is None
+    when n_bits <= 32."""
+    dual = tuple(req_data) != tuple(req_sync)
+    if dual or n_bits > 32:
+        return 8, {"cd": 0, "cs": 1, "ad": 2, "as_": 3, "bl": 4,
+                   "bh": 5 if n_bits > 32 else None, "written": 8}
+    return 4, {"cd": 0, "cs": 0, "ad": 1, "as_": 1, "bl": 2,
+               "bh": None, "written": 3}
+
+
 @functools.lru_cache(maxsize=32)
-def _build(geo_key, n_tiles: int, batch: int, t_tile: int):
+def _build(geo_key, n_tiles: int, batch: int, t_tile: int,
+           planes: bool = False):
     """Compile the fused scorer for a fixed tile count and batch.
 
     geo_key: (basis bytes, nb, magscalar, bit_begin tuple, n_bits,
-    req_data, req_sync) — everything static the math depends on."""
+    req_data, req_sync) — everything static the math depends on.
+    planes=True emits the v3 channel-plane layout (plane_rows) instead
+    of the 8-row packed form."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -113,6 +145,9 @@ def _build(geo_key, n_tiles: int, batch: int, t_tile: int):
     max_begin = max(bit_begin)
     kdim, r_out, n_blocks, r_corr, k128, ov = _statics(nb, max_begin,
                                                        t_tile)
+    n_ch, prow = plane_rows(n_bits, req_data, req_sync)
+    if planes:
+        assert n_ch == 4, "planes build serves the 4-row common layout"
 
     eps = np.float32(np.finfo(np.float32).eps)
     scal = np.float32(magscalar)
@@ -211,6 +246,15 @@ def _build(geo_key, n_tiles: int, batch: int, t_tile: int):
         ok_s = mism_s == 0
         zero = jnp.float32(0.0)
         u = jax.lax.bitcast_convert_type
+        if planes:
+            # 4-row common layout: cd, ad, bl written; row 3 is DMA
+            # alignment padding and is never written (zero traffic)
+            out_ref[0, prow["cd"]] = u(jnp.where(ok_d, conf, zero),
+                                       jnp.uint32)
+            out_ref[0, prow["ad"]] = u(jnp.where(ok_d, ampl, zero),
+                                       jnp.uint32)
+            out_ref[0, prow["bl"]] = u(bits_lo, jnp.uint32)
+            return
         out_ref[0, 0] = u(jnp.where(ok_d, conf, zero), jnp.uint32)
         out_ref[0, 1] = u(jnp.where(ok_s, conf, zero), jnp.uint32)
         out_ref[0, 2] = u(jnp.where(ok_d, ampl, zero), jnp.uint32)
@@ -228,15 +272,16 @@ def _build(geo_key, n_tiles: int, batch: int, t_tile: int):
             (1, r_out, 128),
             functools.partial(lambda b, i, j=0: (b, i + j, 0), j=j),
             memory_space=pltpu.VMEM))
+    ch_out = n_ch if planes else 8
     fn = pl.pallas_call(
         kernel,
         grid=(batch, n_tiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 8, r_out, 128),
+        out_specs=pl.BlockSpec((1, ch_out, r_out, 128),
                                lambda b, i: (b, 0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, 8, n_tiles * r_out, 128),
-                                       jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((batch, ch_out, n_tiles * r_out,
+                                        128), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((r_corr, kdim), jnp.float32),      # im2col slab
             pltpu.VMEM((r_out, ov * 128), jnp.float32),   # pss
@@ -248,7 +293,7 @@ def _build(geo_key, n_tiles: int, batch: int, t_tile: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_packer(geo_key, t_total: int):
+def _make_packer(geo_key, t_total: int, planes: bool = False):
     """vmap-aware fused packer for a fixed geometry and score length.
     Single-stream impl runs the kernel at B=1; jax.vmap dispatches to a
     B-grid build via custom_vmap (same pattern as correlate_pallas)."""
@@ -262,10 +307,12 @@ def _make_packer(geo_key, t_total: int):
     t_tile = _pick_tile(nb, max(bit_begin), t_total)
     assert t_tile is not None, (nb, t_total)
     n_tiles = t_total // t_tile
+    n_ch = plane_rows(n_bits, req_data, req_sync)[0] if planes else 8
 
     def _run(x2d):
         B, L = int(x2d.shape[0]), int(x2d.shape[1])
-        fn, n_rows_in, n_blocks = _build(geo_key, n_tiles, B, t_tile)
+        fn, n_rows_in, n_blocks = _build(geo_key, n_tiles, B, t_tile,
+                                         planes)
         need = n_rows_in * 128
         if L < need:
             x2d = jnp.pad(x2d, ((0, 0), (0, need - L)))
@@ -274,7 +321,7 @@ def _make_packer(geo_key, t_total: int):
         x3 = x2d.reshape(B, n_rows_in, 128)
         with jax.enable_x64(False):
             out = fn(jnp.asarray(w_np), *([x3] * n_blocks))
-        return out.reshape(B, 8, n_tiles * t_tile)
+        return out.reshape(B, n_ch, n_tiles * t_tile)
 
     def _single(x):
         return _run(x.astype(jnp.float32)[None, :])[0]
@@ -310,12 +357,14 @@ def fused_packer_eligible(geo, t_total: int) -> bool:
     return backend_supports_pallas()
 
 
-def make_fused_packer(geo, basis_np: np.ndarray, t_total: int):
+def make_fused_packer(geo, basis_np: np.ndarray, t_total: int,
+                      planes: bool = False):
     """-> packer fn x[t_total + halo] f32/int16-normalized -> [8, t_total]
-    u32, batching under jax.vmap.  Callers guarantee eligibility."""
+    u32 (or [n_ch, t_total] channel planes with planes=True), batching
+    under jax.vmap.  Callers guarantee eligibility."""
     basis32 = np.ascontiguousarray(basis_np, np.float32)
     geo_key = (basis32.tobytes(), int(geo.nb), float(geo.magscalar),
                tuple(int(v) for v in geo.bit_begin), int(geo.n_bits),
                tuple(int(v) for v in geo.req_data),
                tuple(int(v) for v in geo.req_sync))
-    return _make_packer(geo_key, t_total)
+    return _make_packer(geo_key, t_total, planes)

@@ -26,7 +26,7 @@ def main():
     from minimodem_tpu.models.modem import FskModem
     from minimodem_tpu.ops.device_rx import (
         _round_up_pow2, device_rx_key, geometry_from_config,
-        make_score_packer)
+        make_score_packer_planes)
     from minimodem_tpu.ops.pallas_rx import build_mega_rx
 
     m = FskModem("1200", precision="float32")
@@ -60,24 +60,26 @@ def main():
           f"({small.nbytes/dt/1e6:.0f} MB/s)", flush=True)
 
     # 2. packer alone (force a tiny d2h to prove completion)
-    packer = make_score_packer(key, t_total, "float32")
+    packer, n_ch, _ = make_score_packer_planes(key, t_total, "float32")
     pk = jax.jit(lambda a: jnp.sum(
-        jax.vmap(packer)(a).reshape(batch * 8, t_total)[:, ::1024]))
+        jax.vmap(packer)(a).reshape(batch * n_ch, t_total)[:, ::1024]))
     np.asarray(pk(xd))
     dt = t(lambda: np.asarray(pk(xd)))
     print(f"packer(+reduce): {dt*1e3:.1f} ms -> {audio_sec/dt:.0f}x",
           flush=True)
-    pk2 = jax.jit(lambda a: jax.vmap(packer)(a).reshape(batch * 8, t_total))
+    pk2 = jax.jit(lambda a: jax.vmap(packer)(a).reshape(batch * n_ch, t_total))
     packed = jax.block_until_ready(pk2(xd))
 
     # 3. mega kernel alone, forcing the scalar counters to host
     kern, max_events, e_pad = build_mega_rx(key, t_total, False, batch)
     thr2 = jnp.asarray([1.5, 2.3], np.float32)
     td = jnp.asarray(totals)
+    ci0 = jnp.zeros((batch, 8), jnp.int32)
+    cf0 = jnp.zeros((batch, 4), jnp.float32)
 
     def run_kern():
         with jax.enable_x64(False):
-            out = kern(packed, td, thr2)
+            out = kern(packed, td, thr2, ci0, cf0)
         return np.asarray(out[3])
 
     nby = run_kern()
@@ -89,7 +91,7 @@ def main():
     # 4. full result materialization (events + bytes)
     def run_full():
         with jax.enable_x64(False):
-            out = kern(packed, td, thr2)
+            out = kern(packed, td, thr2, ci0, cf0)
         return [np.asarray(o) for o in out]
 
     run_full()
