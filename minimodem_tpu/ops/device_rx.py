@@ -1007,15 +1007,22 @@ class DeviceLoopback:
         amp = self._amplitude
 
         def loop(bits, total, thr, lim, carry, n_frames=None):
-            # bits: [B, b_pad] flat bit schedules — or, in frames mode,
-            # [B, b_pad, n_data_bits] per-frame data-bit rows
+            # bits: [B, b_pad//8] packed flat bit schedules (LSB-first,
+            # np.packbits bitorder='little' — 1/8th the h2d bytes; the
+            # schedule upload measured ~97 ms of the 60 s x64 bench at
+            # the tunnel's ~49 MB/s) — or, in frames mode, [B, b_pad,
+            # n_data_bits] unpacked per-frame data-bit rows
             if frames_mode:
                 s = jax.vmap(lambda fb, nf: device_synthesize_frames(
                     fb, nf, cfg, lead_trail[0], lead_trail[1], amp))(
                         bits, n_frames)
             else:
+                n = jax.lax.iota(jnp.int32, b_pad)
+                sh = (n & 7).astype(jnp.uint8)
+                unpacked = (jnp.repeat(bits, 8, axis=1)
+                            >> sh[None, :]) & jnp.uint8(1)
                 s = jax.vmap(
-                    lambda bb: device_synthesize(bb, cfg, amp))(bits)
+                    lambda bb: device_synthesize(bb, cfg, amp))(unpacked)
             bsz = bits.shape[0]
             x = jnp.zeros((bsz, pad_to), jnp.float32)
             x = jax.lax.dynamic_update_slice(x, s, (0, 0))
@@ -1054,10 +1061,12 @@ class DeviceLoopback:
         bits = np.zeros((len(sched_list), b_pad), np.uint8)
         for i, s in enumerate(sched_list):
             bits[i, :len(s)] = s
+        # 8 bits/byte over the host link (unpacked on device in loop())
+        bits_pk = np.packbits(bits, axis=1, bitorder="little")
         totals = np.asarray([n * self.bit_ns for n in b_real], np.int32)
         fn, compact, use_mega = self._fn_for(b_pad, len(sched_list))
         out = fn(
-            jnp.asarray(bits), jnp.asarray(totals),
+            jnp.asarray(bits_pk), jnp.asarray(totals),
             np.float32(conf_threshold), np.float32(conf_search_limit),
             zero_carry(len(sched_list)))
         return _collect_results(out, len(sched_list), compact)

@@ -49,6 +49,7 @@ def main():
     bits = np.zeros((len(scheds), b_pad), np.uint8)
     for i, s in enumerate(scheds):
         bits[i, :len(s)] = s
+    bits = np.packbits(bits, axis=1, bitorder="little")
     totals = np.asarray([n * lb.bit_ns for n in b_real], np.int32)
     fn, compact, use_mega = lb._fn_for(b_pad, batch)
     print(f"audio={audio_sec:.0f}s bits={bits.nbytes/1e6:.1f}MB "
