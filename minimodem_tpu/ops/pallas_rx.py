@@ -124,6 +124,18 @@ def _fastpath_on() -> bool:
         "0", "", "off")
 
 
+def _probe_batch_on() -> bool:
+    """Batched fast-path probe (ROADMAP round-3 item 2): the chain's
+    spec_depth x 3 single-lane masked reductions collapse to 3 masked
+    reductions over one stacked [spec_depth, W_P] block (sublane k =
+    frame k of the chain).  MINIMODEM_TPU_PROBE_BATCH=0 restores the
+    per-frame reductions."""
+    import os
+
+    return os.environ.get("MINIMODEM_TPU_PROBE_BATCH", "1") not in (
+        "0", "", "off")
+
+
 def _static_geom(cfg_key):
     (sample_rate, data_rate_bits, n_data_bits, nstartbits, nstopbits_bits,
      b_mark, b_space, fftsize, nb, magscalar_bits, bit_begin, n_bits,
@@ -254,6 +266,16 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
     use_fast = (_fastpath_on() and spec_depth > 1 and adv_fast > 0
                 and span_fast + W_LANES <= w_res)
     fill_span = span_fast if use_fast else w_fetch
+    # batched-probe statics: one [spec_depth, w_probe] block covers the
+    # whole chain (lane rel0 + k*adv_fast for frame k); the slice base is
+    # 128-aligned down from candidate 0, so rel0 < 128.  Guarded so the
+    # block never reads past the resident span the refill guarantees
+    # (base + w_probe <= off_res + c0_fast + w_probe <= w_res holds when
+    # c0_fast + w_probe <= fill_span, off_res <= w_res - fill_span).
+    w_probe = -(-(W_LANES + (spec_depth - 1) * adv_fast) // W_LANES) \
+        * W_LANES
+    use_batch_probe = (use_fast and _probe_batch_on()
+                       and c0_fast + w_probe <= fill_span)
     # candidate tables as kernel inputs (pallas kernels cannot capture
     # array constants); row = carrier flag
     cand_c_in = np.full((2, Kc), -1, np.int32)
@@ -624,27 +646,60 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
             # ---- fast-path probe: single-lane channel reads at the
             # chain positions (see the statics block above) ----
             def probe(_):
-                lane128 = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, 128), 1)[0]               # [128]
                 cs, avs, bvs = [], [], []
-                for k in range(spec_depth):
-                    p = off_res + jnp.int32(k * adv_fast + c0_fast)
-                    lk = pl.multiple_of((p // W_LANES) * W_LANES,
-                                        W_LANES)
-                    blkk = win_vmem[:, pl.ds(lk, 128)]       # [8, 128]
-                    oh = lane128 == (p - lk)
-                    cd = jax.lax.bitcast_convert_type(ch(blkk, r_cd),
-                                                      jnp.float32)
-                    ad = jax.lax.bitcast_convert_type(ch(blkk, r_ad),
-                                                      jnp.float32)
-                    bd = jax.lax.bitcast_convert_type(ch(blkk, r_bl),
-                                                      jnp.int32)
-                    cs.append(jnp.sum(jnp.where(oh, cd, 0.0),
-                                      dtype=jnp.float32))
-                    avs.append(jnp.sum(jnp.where(oh, ad, 0.0),
-                                       dtype=jnp.float32))
-                    bvs.append(jnp.sum(jnp.where(oh, bd, jnp.int32(0)),
-                                       dtype=jnp.int32))
+                if use_batch_probe:
+                    # one [spec_depth, w_probe] stacked block: sublane k
+                    # holds frame k's one-hot at lane rel0 + k*adv_fast;
+                    # each channel needs ONE masked reduction instead of
+                    # spec_depth (per-frame values stay exact — a single
+                    # nonzero term per row)
+                    p0 = off_res + jnp.int32(c0_fast)
+                    base = pl.multiple_of((p0 // W_LANES) * W_LANES,
+                                          W_LANES)
+                    blkp = win_vmem[:, pl.ds(base, w_probe)]
+                    lane2 = jax.lax.broadcasted_iota(
+                        jnp.int32, (spec_depth, w_probe), 1)
+                    row2 = jax.lax.broadcasted_iota(
+                        jnp.int32, (spec_depth, w_probe), 0)
+                    ohm = lane2 == (p0 - base) + row2 * jnp.int32(
+                        adv_fast)
+                    cd = jax.lax.bitcast_convert_type(
+                        ch(blkp, r_cd), jnp.float32)[None, :]
+                    ad = jax.lax.bitcast_convert_type(
+                        ch(blkp, r_ad), jnp.float32)[None, :]
+                    bd = jax.lax.bitcast_convert_type(
+                        ch(blkp, r_bl), jnp.int32)[None, :]
+                    cvec = jnp.sum(jnp.where(ohm, cd, 0.0), axis=1,
+                                   dtype=jnp.float32)      # [spec_depth]
+                    avec = jnp.sum(jnp.where(ohm, ad, 0.0), axis=1,
+                                   dtype=jnp.float32)
+                    bvec = jnp.sum(jnp.where(ohm, bd, jnp.int32(0)),
+                                   axis=1, dtype=jnp.int32)
+                    cs = [cvec[k] for k in range(spec_depth)]
+                    avs = [avec[k] for k in range(spec_depth)]
+                    bvs = [bvec[k] for k in range(spec_depth)]
+                else:
+                    lane128 = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 128), 1)[0]           # [128]
+                    for k in range(spec_depth):
+                        p = off_res + jnp.int32(k * adv_fast + c0_fast)
+                        lk = pl.multiple_of((p // W_LANES) * W_LANES,
+                                            W_LANES)
+                        blkk = win_vmem[:, pl.ds(lk, 128)]   # [8, 128]
+                        oh = lane128 == (p - lk)
+                        cd = jax.lax.bitcast_convert_type(
+                            ch(blkk, r_cd), jnp.float32)
+                        ad = jax.lax.bitcast_convert_type(
+                            ch(blkk, r_ad), jnp.float32)
+                        bd = jax.lax.bitcast_convert_type(
+                            ch(blkk, r_bl), jnp.int32)
+                        cs.append(jnp.sum(jnp.where(oh, cd, 0.0),
+                                          dtype=jnp.float32))
+                        avs.append(jnp.sum(jnp.where(oh, ad, 0.0),
+                                           dtype=jnp.float32))
+                        bvs.append(jnp.sum(
+                            jnp.where(oh, bd, jnp.int32(0)),
+                            dtype=jnp.int32))
                 cmin = cmax = cs[0]
                 amin = amax = avs[0]
                 for k in range(1, spec_depth):
