@@ -994,16 +994,22 @@ class DeviceLoopback:
         compact = cfg.n_data_bits <= 8
         use_mega = (compact and mega_supported(self.key)
                     and mega_default_on())
+        t_score = t_total
         if use_mega:
+            from .pallas_rx import mega_score_len
+
+            # packer scores mega_score_len extra zero-signal tiles so
+            # the kernel's w_res refill slack needs no pad copy
+            t_score = mega_score_len(self.key, t_total)
             packer, n_ch_mega, _ = make_score_packer_planes(
-                self.key, t_total, "float32")
+                self.key, t_score, "float32")
             kern, _, _ = build_mega_rx(
                 self.key, t_total, self._rx_one, batch)
         else:
             rx_fn, _, _ = _build_device_rx(
                 self.key, t_total, self._rx_one, "float32", True, compact)
         geo = self._geo
-        pad_to = t_total + geo.halo
+        pad_to = t_score + geo.halo
         amp = self._amplitude
 
         def loop(bits, total, thr, lim, carry, n_frames=None):
@@ -1028,7 +1034,7 @@ class DeviceLoopback:
             x = jax.lax.dynamic_update_slice(x, s, (0, 0))
             if use_mega:
                 packed = jax.vmap(packer)(x).reshape(
-                    bsz * n_ch_mega, t_total)
+                    bsz * n_ch_mega, t_score)
                 ci = jnp.zeros((bsz, 8), jnp.int32)
                 cf = jnp.zeros((bsz, 4), jnp.float32)
                 return kern(packed, total, jnp.stack([thr, lim]),
@@ -1261,10 +1267,10 @@ class PipelinedReceiver:
         if use_mega:
             from .pallas_rx import MegaReceiver, _mega_run_fn
 
-            fn_m, _ = _mega_run_fn(self.key, t_total, 1, self.rx_one,
-                                   in_dtype, False)
-            fn_f_m, _ = _mega_run_fn(self.key, t_total_f, 1, self.rx_one,
-                                     in_dtype, True)
+            fn_m, _, t_x = _mega_run_fn(self.key, t_total, 1, self.rx_one,
+                                        in_dtype, False)
+            fn_f_m, _, t_x_f = _mega_run_fn(self.key, t_total_f, 1,
+                                            self.rx_one, in_dtype, True)
             thr2 = np.asarray([conf_threshold, conf_search_limit],
                               np.float32)
             # pos lives in ci[:, 0]; the rebase stays ON DEVICE so the
@@ -1289,6 +1295,7 @@ class PipelinedReceiver:
 
             carry0 = MegaReceiver.carry_to_arrays(None, 1)
         else:
+            t_x, t_x_f = t_total, t_total_f
             fn, _, _ = _build_device_rx(
                 self.key, t_total, self.rx_one, in_dtype, False,
                 self.compact)
@@ -1323,7 +1330,7 @@ class PipelinedReceiver:
 
         totals_nf = np.asarray([total_nf], np.int32)
         carry = carry0
-        dev = put(samples[starts[0]: starts[0] + self.segment_len], t_total)
+        dev = put(samples[starts[0]: starts[0] + self.segment_len], t_x)
         for i, s0 in enumerate(starts):
             out = dispatch(dev, totals_nf, carry, False)
             # rebase the device position onto the next segment's origin
@@ -1331,9 +1338,9 @@ class PipelinedReceiver:
             # issue the NEXT transfer while this segment decodes
             if i + 1 < len(starts):
                 nxt = starts[i + 1]
-                dev = put(samples[nxt: nxt + self.segment_len], t_total)
+                dev = put(samples[nxt: nxt + self.segment_len], t_x)
             else:
-                dev = put(samples[tail_start:], t_total_f)
+                dev = put(samples[tail_start:], t_x_f)
             yield collect(out)[0]
 
         out = dispatch(dev, np.asarray([tail_total], np.int32), carry,

@@ -124,6 +124,18 @@ def _fastpath_on() -> bool:
         "0", "", "off")
 
 
+def _prefetch_on() -> bool:
+    """Double-buffered resident-window refill (round 3): the next window
+    block is DMA'd into the other half of a 16-row scratch while the
+    current half is consumed, so the ~2 MB refill no longer stalls the
+    state machine every ~W_EXTRA/frame_advance frames.
+    MINIMODEM_TPU_PREFETCH=0 restores the blocking refill."""
+    import os
+
+    return os.environ.get("MINIMODEM_TPU_PREFETCH", "1") not in (
+        "0", "", "off")
+
+
 def _probe_batch_on() -> bool:
     """Batched fast-path probe (ROADMAP round-3 item 2): the chain's
     spec_depth x 3 single-lane masked reductions collapse to 3 masked
@@ -159,6 +171,42 @@ def _static_geom(cfg_key):
             coarse=_scan_order(try_first, try_max, coarse),
             fine=_scan_order(try_first, try_max, fine))
     return geom
+
+
+def _mega_window(cfg_key):
+    """(w_fetch, w_res) for this geometry — the per-frame fetch block and
+    the resident-window DMA length (see build_mega_rx)."""
+    geom = _static_geom(cfg_key)
+    w_scan = max(geom[0]["try_max"], geom[1]["try_max"])
+    w_fetch = ((w_scan + W_LANES - 1) // W_LANES + 1) * W_LANES
+    w_res = ((w_fetch + W_EXTRA + 1023) // 1024) * 1024
+    return w_fetch, w_res
+
+
+def mega_score_len(cfg_key, t_total: int) -> int:
+    """Score length the packer should produce for the megakernel.
+
+    The kernel's refill DMA reads [base, base + w_res) with base up to
+    ~t_total, so the packed array needs w_res lanes of tail slack.  A
+    wrapper-side jnp.pad is a full-array HBM copy (~3 GB r+w, ~11 ms on
+    the 64 x 60 s batch); instead the fused scorer emits whole extra
+    tiles past t_total — real zero-signal scores (conf 0.0, framing
+    mismatch) at ~3% scorer cost.  Returns t_total when the fused scorer
+    is ineligible (CPU/interpret/f64), where the wrapper pad remains."""
+    from .device_rx import geo_from_key
+    from . import pallas_score as ps
+
+    geo = geo_from_key(cfg_key)
+    if not ps.fused_packer_eligible(geo, t_total):
+        return t_total
+    t_tile = ps._pick_tile(geo.nb, max(geo.bit_begin), t_total)
+    if t_tile is None:
+        return t_total
+    _, w_res = _mega_window(cfg_key)
+    t_score = t_total + -(-w_res // t_tile) * t_tile
+    if not ps.fused_packer_eligible(geo, t_score):
+        return t_total
+    return t_score
 
 
 @functools.lru_cache(maxsize=16)
@@ -213,13 +261,11 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
 
     spec_depth = _spec_depth()
     geom = _static_geom(cfg_key)
-    w_scan = max(geom[0]["try_max"], geom[1]["try_max"])
     # fetch block: dynamic pos is 128-aligned down, so the window spans at
-    # most (128 - 1) + w_scan lanes
-    w_fetch = ((w_scan + W_LANES - 1) // W_LANES + 1) * W_LANES
-    # resident window: refilled by one DMA every ~W_EXTRA/frame_adv frames
-    # (lane length kept a 1024-multiple for the HBM DMA)
-    w_res = ((w_fetch + W_EXTRA + 1023) // 1024) * 1024
+    # most (128 - 1) + w_scan lanes; resident window: refilled by one DMA
+    # every ~W_EXTRA/frame_adv frames (lane length a 1024-multiple for
+    # the HBM DMA)
+    w_fetch, w_res = _mega_window(cfg_key)
 
     # separate coarse/fine candidate tables: the coarse scan runs every
     # frame (keep its K minimal); the fine rescan is rare and larger
@@ -276,6 +322,20 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
         * W_LANES
     use_batch_probe = (use_fast and _probe_batch_on()
                        and c0_fast + w_probe <= fill_span)
+    # prefetch statics: deterministic window stride (the next swap base
+    # is always win_base + p_stride, so the other half can be filled
+    # ahead of time).  Correctness needs one swap to always suffice:
+    # after a swap, pos - new_base <= (w_res - fill_span - p_stride) +
+    # max_iter_advance < 128 + spec_depth*adv_max_s, which must leave
+    # room for the fetch span.  t128 bounds every DMA base so the last
+    # windows read the (real, zero-signal) score pad instead of running
+    # off the array.
+    p_stride = ((w_res - fill_span) // W_LANES) * W_LANES
+    max_iter_adv = spec_depth * max(adv_max_s, geom[0]["try_max"])
+    use_prefetch = (_prefetch_on() and p_stride >= W_LANES
+                    and 127 + max_iter_adv + fill_span <= w_res)
+    win_rows = 16 if use_prefetch else 8
+    t128 = (t_total // W_LANES) * W_LANES
     # candidate tables as kernel inputs (pallas kernels cannot capture
     # array constants); row = carrier flag
     cand_c_in = np.full((2, Kc), -1, np.int32)
@@ -291,7 +351,8 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
                valid_f_ref, packed_hbm,
                ev_ref, nev_ref, bytes_ref, nbytes_ref,
                ci_out_ref, cf_out_ref,
-               win_vmem, ev_vmem, bytes_vmem, sem):
+               win_vmem, ev_vmem, bytes_vmem, sem, *opt_sems):
+        psem = opt_sems[0] if use_prefetch else None
         b = pl.program_id(0)
         total = total_ref[b]
         conf_threshold = thr_ref[0]
@@ -313,6 +374,9 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
             def ch(blk, r):
                 return blk[r, :]
 
+        row0 = ((b // 2) * 8) if half_mode else (b * 8)
+        row0 = pl.multiple_of(row0, 8)
+
         def refill(pos):
             """DMA the stream's [8, W_RES] score block at a 128-aligned
             base into the resident window (runs only when the fetch
@@ -320,13 +384,29 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
             frames).  Row start/size must be 8-aligned (mosaic), hence
             the shared block in half mode."""
             base = pl.multiple_of((pos // W_LANES) * W_LANES, W_LANES)
-            row0 = ((b // 2) * 8) if half_mode else (b * 8)
-            row0 = pl.multiple_of(row0, 8)
             dma = pltpu.make_async_copy(
                 packed_hbm.at[pl.ds(row0, 8), pl.ds(base, w_res)],
                 win_vmem, sem)
             dma.start()
             dma.wait()
+
+        def _pf_copy(base, tgt_row, psem_):
+            """Prefetch-mode DMA descriptor: score block at `base` ->
+            window half `tgt_row` (0 or 8).  Reconstructed with the same
+            operands at wait time."""
+            return pltpu.make_async_copy(
+                packed_hbm.at[pl.ds(row0, 8),
+                              pl.ds(pl.multiple_of(base, W_LANES), w_res)],
+                win_vmem.at[pl.ds(pl.multiple_of(tgt_row, 8), 8), :],
+                psem_)
+
+        if use_prefetch:
+            def wslice(pf, lane0, n):
+                return win_vmem[pl.ds(pl.multiple_of(pf, 8), 8),
+                                pl.ds(lane0, n)]
+        else:
+            def wslice(pf, lane0, n):
+                return win_vmem[:, pl.ds(lane0, n)]
 
         def find_frame(blk, off, carrier_i, expect_i, cand_ref, valid_ref,
                        limit):
@@ -611,7 +691,7 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
         def cond(st):
             (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
              nframes, carrier_ns, n_ev, n_by, stop_f, win_base,
-             pred_fs, byrow) = st
+             pred_fs, byrow, pf, pend) = st
             return jnp.logical_and(
                 stop_f == 0,
                 jnp.logical_and(pos + expect_nsamples <= total,
@@ -620,25 +700,45 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
         def body(st):
             (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
              nframes, carrier_ns, n_ev, n_by, stop_f, win_base,
-             pred_fs, byrow) = st
+             pred_fs, byrow, pf, pend) = st
             carrier_i = carrier_f
             expect_i = 1 - carrier_i
 
             # resident-window refill: only when the fetch block (plus the
-            # fast path's lockstep span) would run off its end (win_base
-            # starts at a sentinel forcing a fetch)
+            # fast path's lockstep span) would run off its end
             need_fill = pos - win_base + fill_span > w_res
 
-            @pl.when(need_fill)
-            def _():
-                refill(pos)
+            if use_prefetch:
+                # double-buffered: the other window half already holds
+                # [pend, pend + w_res) — wait for it, swap halves, and
+                # start the next prefetch into the stale half.  One swap
+                # always suffices (see the p_stride statics proof).
+                pf_new = jnp.where(need_fill, 8 - pf, pf)
+                wb_new = jnp.where(need_fill, pend, win_base)
+                pend_new = jnp.where(
+                    need_fill,
+                    jnp.minimum(pend + jnp.int32(p_stride),
+                                jnp.int32(t128)), pend)
 
-            win_base = jnp.where(need_fill, (pos // W_LANES) * W_LANES,
-                                 win_base)
+                @pl.when(need_fill)
+                def _():
+                    _pf_copy(pend, pf_new, psem).wait()
+                    _pf_copy(pend_new, pf, psem).start()
+
+                win_base, pf, pend = wb_new, pf_new, pend_new
+            else:
+                # blocking refill (win_base starts at a sentinel forcing
+                # the first fetch)
+                @pl.when(need_fill)
+                def _():
+                    refill(pos)
+
+                win_base = jnp.where(need_fill,
+                                     (pos // W_LANES) * W_LANES, win_base)
             off_res = pos - win_base            # [0, w_res - fill_span]
 
             def slow_body(_):
-                return _slow_body(st, win_base, off_res)
+                return _slow_body(st, win_base, off_res, pf, pend)
 
             if not use_fast:
                 return slow_body(None)
@@ -656,7 +756,7 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
                     p0 = off_res + jnp.int32(c0_fast)
                     base = pl.multiple_of((p0 // W_LANES) * W_LANES,
                                           W_LANES)
-                    blkp = win_vmem[:, pl.ds(base, w_probe)]
+                    blkp = wslice(pf, base, w_probe)
                     lane2 = jax.lax.broadcasted_iota(
                         jnp.int32, (spec_depth, w_probe), 1)
                     row2 = jax.lax.broadcasted_iota(
@@ -685,7 +785,7 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
                         p = off_res + jnp.int32(k * adv_fast + c0_fast)
                         lk = pl.multiple_of((p // W_LANES) * W_LANES,
                                             W_LANES)
-                        blkk = win_vmem[:, pl.ds(lk, 128)]   # [8, 128]
+                        blkk = wslice(pf, lk, 128)           # [8, 128]
                         oh = lane128 == (p - lk)
                         cd = jax.lax.bitcast_convert_type(
                             ch(blkk, r_cd), jnp.float32)
@@ -764,21 +864,21 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
                         conf_tot2, ampl_tot2,
                         nframes + jnp.int32(spec_depth), carrier_ns2,
                         n_ev, n_by2, stop_f, win_base,
-                        jnp.int32(c0_fast), byrow2)
+                        jnp.int32(c0_fast), byrow2, pf, pend)
 
             return jax.lax.cond(probe_out[0] != 0, fast_apply, slow_body,
                                 probe_out)
 
-        def _slow_body(st, win_base, off_res):
+        def _slow_body(st, win_base, off_res, pf, pend):
             (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
              nframes, carrier_ns, n_ev, n_by, stop_f, _win_base,
-             pred_fs, byrow) = st
+             pred_fs, byrow, _pf, _pend) = st
             carrier_i = carrier_f
             expect_i = 1 - carrier_i
 
             # frame 0: the architected position
             local = pl.multiple_of((off_res // W_LANES) * W_LANES, W_LANES)
-            blk0 = win_vmem[:, pl.ds(local, w_fetch)]      # [8, W_FETCH]
+            blk0 = wslice(pf, local, w_fetch)              # [8, W_FETCH]
             off0 = off_res - local                         # [0, 128)
             finds = [find_frame(blk0, off0, carrier_i, expect_i,
                                 cand_c_ref, valid_c_ref,
@@ -797,7 +897,7 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
                 ok = jnp.logical_and(adv_pred > 0, d + w_fetch <= w_res)
                 dc = jnp.clip(d, 0, w_res - w_fetch)
                 lk = pl.multiple_of((dc // W_LANES) * W_LANES, W_LANES)
-                blk_k = win_vmem[:, pl.ds(lk, w_fetch)]
+                blk_k = wslice(pf, lk, w_fetch)
                 off_k = dc - lk
                 finds.append(find_frame(blk_k, off_k, jnp.int32(1), 0,
                                         cand_c_ref, valid_c_ref,
@@ -860,21 +960,51 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
              nframes, carrier_ns, n_ev, n_by, stop_f, byrow) = st12
             return (pos, carrier_f, noconf, track, peak, conf_tot,
                     ampl_tot, nframes, carrier_ns, n_ev, n_by, stop_f,
-                    win_base, pred_new, byrow)
+                    win_base, pred_new, byrow, pf, pend)
 
         zi = jnp.int32(0)
-        # win_base sentinel far below any pos forces the initial refill
-        base0 = jnp.int32(-(1 << 30))
+        if use_prefetch:
+            # initial fill of half 0 at the carried position (clamped to
+            # t128 so late-stream bases stay inside the padded scores),
+            # then the first prefetch into half 8.  Exactly one prefetch
+            # is outstanding from here on; the post-loop drain waits it.
+            pos_in = carry_i_ref[b, 0]
+            # clamp to [0, t128]: the init DMA runs even when the loop
+            # body never will (pos already past total), and a carried
+            # pos is not otherwise bounded here
+            base0 = jnp.clip((pos_in // W_LANES) * W_LANES,
+                             jnp.int32(0), jnp.int32(t128))
+            dma0 = pltpu.make_async_copy(
+                packed_hbm.at[pl.ds(row0, 8),
+                              pl.ds(pl.multiple_of(base0, W_LANES),
+                                    w_res)],
+                win_vmem.at[pl.ds(0, 8), :], sem)
+            dma0.start()
+            dma0.wait()
+            pend0 = jnp.minimum(base0 + jnp.int32(p_stride),
+                                jnp.int32(t128))
+            _pf_copy(pend0, jnp.int32(8), psem).start()
+            pf0 = zi
+        else:
+            # win_base sentinel far below any pos forces the first refill
+            base0 = jnp.int32(-(1 << 30))
+            pend0 = zi
+            pf0 = zi
         st = jax.lax.while_loop(
             cond, body,
             (carry_i_ref[b, 0], carry_i_ref[b, 1], carry_i_ref[b, 2],
              carry_f_ref[b, 0], carry_f_ref[b, 1], carry_f_ref[b, 2],
              carry_f_ref[b, 3], carry_i_ref[b, 3], carry_i_ref[b, 4],
              zi, zi, carry_i_ref[b, 5], base0, zi,
-             jnp.zeros((1, 128), jnp.int32)))
+             jnp.zeros((1, 128), jnp.int32), pf0, pend0))
         (pos, carrier_f, noconf, track, peak, conf_tot, ampl_tot,
          nframes, carrier_ns, n_ev, n_by, stop_f, win_base, pred_fs,
-         byrow) = st
+         byrow, pf_f, pend_f) = st
+        if use_prefetch:
+            # drain the outstanding prefetch (exactly one): semaphore
+            # counts persist across grid steps, so the next stream must
+            # start from zero
+            _pf_copy(pend_f, 8 - pf_f, psem).wait()
         carrier = carrier_f != 0
 
         # carry-out = loop-exit state (pre-flush, like the XLA path)
@@ -957,21 +1087,25 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
             jax.ShapeDtypeStruct((batch, 4), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((8, w_res), jnp.uint32),
+            pltpu.VMEM((win_rows, w_res), jnp.uint32),
             pltpu.VMEM((e_pad, 8), jnp.uint32),
             pltpu.VMEM((b_rows, 128), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
-        ],
+        ] + ([pltpu.SemaphoreType.DMA(())] if use_prefetch else []),
     )
 
     def wrapper(packed, totals, thr2, carry_i, carry_f):
         with jax.enable_x64(False):
-            # pad so a refill DMA at any base <= t_total stays in bounds;
-            # padding scores are zeros (conf 0.0 -> never selected).  In
-            # half mode an odd batch also pads 4 rows so the last
-            # stream's shared 8-row DMA block exists.
+            # a refill DMA at any base <= t_total must stay in bounds:
+            # callers that build their packer at mega_score_len ship the
+            # slack as real zero-signal score tiles (no copy here); a
+            # shorter packed input falls back to a jnp.pad (a full-array
+            # HBM copy).  In half mode an odd batch also pads 4 rows so
+            # the last stream's shared 8-row DMA block exists.
             row_pad = 4 if (half_mode and batch % 2) else 0
-            packed = jnp.pad(packed, ((0, row_pad), (0, w_res)))
+            lane_pad = max(0, t_total + w_res - int(packed.shape[1]))
+            if row_pad or lane_pad:
+                packed = jnp.pad(packed, ((0, row_pad), (0, lane_pad)))
             ev, nev, byt, nby, ci, cf = fn(
                 totals, thr2, carry_i, carry_f,
                 jnp.asarray(cand_c_in), jnp.asarray(valid_c_in),
@@ -1028,22 +1162,25 @@ def _mega_run_fn(cfg_key, t_total: int, batch: int, rx_one: bool,
                  input_dtype: str, finalize: bool = True):
     """Global cache of the packer+megakernel program, so fresh receiver
     objects (one per decode call in the CLI) reuse traces and
-    executables."""
+    executables.  Returns (fn, max_events, t_score): callers must feed
+    x of length t_score + halo (the packer scores mega_score_len extra
+    zero-signal tiles so the kernel's refill slack needs no pad copy)."""
     import jax
 
     from ..utils.aot import jit_mosaic
     from .device_rx import make_score_packer_planes
 
-    packer, n_ch, _ = make_score_packer_planes(cfg_key, t_total,
+    t_score = mega_score_len(cfg_key, t_total)
+    packer, n_ch, _ = make_score_packer_planes(cfg_key, t_score,
                                                input_dtype)
     kern, max_events, e_pad = build_mega_rx(cfg_key, t_total, rx_one,
                                             batch, finalize)
 
     def run(x, totals, thr2, carry_i, carry_f):
-        packed = jax.vmap(packer)(x).reshape(batch * n_ch, t_total)
+        packed = jax.vmap(packer)(x).reshape(batch * n_ch, t_score)
         return kern(packed, totals, thr2, carry_i, carry_f)
 
-    return jit_mosaic(run), max_events
+    return jit_mosaic(run), max_events, t_score
 
 
 class MegaReceiver:
@@ -1121,9 +1258,10 @@ class MegaReceiver:
             int(totals.max(initial=0)) + self.cfg.nsamples_overscan + 1)
         geo = geometry_from_config(self.cfg)
         in_dtype = "int16" if samples.dtype == np.int16 else "float32"
-        fn, max_events = self._fn_for(t_total, b, in_dtype, finalize)
-        x = np.zeros((b, t_total + geo.halo), samples.dtype)
-        x[:, :min(L, t_total + geo.halo)] = samples[:, :t_total + geo.halo]
+        fn, max_events, t_score = self._fn_for(t_total, b, in_dtype,
+                                               finalize)
+        x = np.zeros((b, t_score + geo.halo), samples.dtype)
+        x[:, :min(L, t_score + geo.halo)] = samples[:, :t_score + geo.halo]
         thr2 = np.asarray([conf_threshold, conf_search_limit], np.float32)
         ci, cf = self.carry_to_arrays(carry, b)
         out = fn(jnp.asarray(x), jnp.asarray(totals), jnp.asarray(thr2),

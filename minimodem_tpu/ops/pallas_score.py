@@ -53,6 +53,24 @@ from .pallas_demod import MAX_NB, _kdim, make_banded_w
 T_TILES = (32768, 16384, 8192)
 T_TILE = T_TILES[-1]                  # granularity the score length needs
 
+# pass-1 comb sums ride the MXU (round 3): the pss/png slabs already ARE
+# im2col matrices of the overlapped planes, so total/mark/noise sums over
+# the n_bits comb taps are banded matmuls, and the integer stats
+# (n_mark, framing mismatch, packed bits) are one matmul on the 0/1
+# indicator slab — exact even in bf16 passes (0/1 x {0, +-1, 2^k}
+# products, f32 accumulation), gated at n_bits <= 24 so the bit weights
+# stay inside f32's exact-integer range.  Measured on v5e (64 x 60 s
+# Bell202): scorer 107.3 -> 94.8 ms wall (pass 1 was ~20 ms of VPU
+# shifted adds).  MINIMODEM_TPU_MXP1=0 restores the VPU pass.
+MXP1_MAX_BITS = 24
+
+
+def _mxp1_on() -> bool:
+    import os
+
+    return os.environ.get("MINIMODEM_TPU_MXP1", "1") not in (
+        "0", "", "off")
+
 # VMEM guards for the scratch slabs (bytes)
 _MAX_X2_BYTES = 4 << 20
 _MAX_PLANE_BYTES = 2 << 20
@@ -128,13 +146,14 @@ def plane_rows(n_bits: int, req_data, req_sync):
 
 @functools.lru_cache(maxsize=32)
 def _build(geo_key, n_tiles: int, batch: int, t_tile: int,
-           planes: bool = False):
+           planes: bool = False, mxp1: bool = False):
     """Compile the fused scorer for a fixed tile count and batch.
 
     geo_key: (basis bytes, nb, magscalar, bit_begin tuple, n_bits,
     req_data, req_sync) — everything static the math depends on.
     planes=True emits the v3 channel-plane layout (plane_rows) instead
-    of the 8-row packed form."""
+    of the 8-row packed form.  mxp1=True (planes only) runs pass 1 as
+    banded comb matmuls on the MXU (see MXP1_MAX_BITS)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -148,18 +167,25 @@ def _build(geo_key, n_tiles: int, batch: int, t_tile: int,
     n_ch, prow = plane_rows(n_bits, req_data, req_sync)
     if planes:
         assert n_ch == 4, "planes build serves the 4-row common layout"
+    assert not (mxp1 and not planes)
 
     eps = np.float32(np.finfo(np.float32).eps)
     scal = np.float32(magscalar)
     n_bits_f = np.float32(n_bits)
+    ovk = ov * 128
+    n_req1 = float(sum(1 for r in req_data if r == 1))
 
     def kernel(*refs):
         w_ref = refs[0]
-        x_refs = refs[1:1 + n_blocks]
-        out_ref = refs[1 + n_blocks]
-        x2_sc = refs[2 + n_blocks]
-        pss = refs[3 + n_blocks]
-        png = refs[4 + n_blocks]
+        nw = 1
+        if mxp1:
+            wc_ref, wb_ref = refs[1], refs[2]
+            nw = 3
+        x_refs = refs[nw:nw + n_blocks]
+        out_ref = refs[nw + n_blocks]
+        x2_sc = refs[nw + 1 + n_blocks]
+        pss = refs[nw + 2 + n_blocks]
+        png = refs[nw + 3 + n_blocks]
 
         x_full = jnp.concatenate([r[0] for r in x_refs], axis=0)
 
@@ -187,6 +213,58 @@ def _build(geo_key, n_tiles: int, batch: int, t_tile: int,
 
         def shift_ss(s0):
             return pss[:, s0:s0 + 128]
+
+        u = jax.lax.bitcast_convert_type
+        zero = jnp.float32(0.0)
+
+        if mxp1:
+            # ---- pass 1 on the MXU: comb sums over the slabs ----
+            # total_sig = 2*mark_sig - sum_ss (|x| = 2*max(x,0) - x);
+            # integer stats from the 0/1 indicator slab are exact in
+            # bf16 passes (0/1 x {0, +-1, 2^k}, f32 accumulation)
+            hi = jax.lax.Precision.HIGHEST
+            pm = jnp.maximum(pss[...], jnp.float32(0.0))
+            bb2 = jnp.where(pss[...] > 0, jnp.float32(1.0),
+                            jnp.float32(0.0))
+            sum_ss = jnp.dot(pss[...], wc_ref[...],
+                             preferred_element_type=jnp.float32,
+                             precision=hi)
+            mark_sig = jnp.dot(pm, wc_ref[...],
+                               preferred_element_type=jnp.float32,
+                               precision=hi)
+            total_noise = jnp.dot(png[...], wc_ref[...],
+                                  preferred_element_type=jnp.float32,
+                                  precision=hi)
+            d4 = jnp.dot(bb2, wb_ref[...],
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.DEFAULT)
+            n_mark = d4[:, 0:128]
+            mism_f = jnp.float32(n_req1) + d4[:, 128:256]
+            bits_lo = d4[:, 256:384].astype(jnp.int32)
+            total_sig = jnp.float32(2.0) * mark_sig - sum_ss
+            n_space = n_bits_f - n_mark
+            space_sig = total_sig - mark_sig
+            avg_mark = jnp.where(n_mark > 0, mark_sig / n_mark,
+                                 jnp.float32(0.0))
+            avg_space = jnp.where(n_space > 0, space_sig / n_space,
+                                  jnp.float32(0.0))
+            divergence = jnp.zeros((r_out, 128), jnp.float32)
+            for k in range(n_bits):
+                ssk = shift_ss(int(bit_begin[k]))
+                sbk = jnp.abs(ssk)
+                avg_own = jnp.where(ssk > 0, avg_mark, avg_space)
+                divergence = divergence + jnp.abs(sbk - avg_own) / avg_own
+            divergence = divergence * jnp.float32(2.0) / n_bits_f
+            snr = total_sig / total_noise
+            conf = snr * (jnp.float32(1.0) - divergence)
+            ampl = total_sig / n_bits_f
+            ok_d = mism_f == 0
+            out_ref[0, prow["cd"]] = u(jnp.where(ok_d, conf, zero),
+                                       jnp.uint32)
+            out_ref[0, prow["ad"]] = u(jnp.where(ok_d, ampl, zero),
+                                       jnp.uint32)
+            out_ref[0, prow["bl"]] = u(bits_lo, jnp.uint32)
+            return
 
         # ---- pass 1: totals + framing masks + bit packing ----
         zf = jnp.zeros((r_out, 128), jnp.float32)
@@ -267,6 +345,11 @@ def _build(geo_key, n_tiles: int, batch: int, t_tile: int,
 
     in_specs = [pl.BlockSpec((kdim, 512), lambda b, i: (0, 0),
                              memory_space=pltpu.VMEM)]
+    if mxp1:
+        in_specs.append(pl.BlockSpec((ovk, 128), lambda b, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((ovk, 384), lambda b, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
     for j in range(n_blocks):
         in_specs.append(pl.BlockSpec(
             (1, r_out, 128),
@@ -308,11 +391,28 @@ def _make_packer(geo_key, t_total: int, planes: bool = False):
     assert t_tile is not None, (nb, t_total)
     n_tiles = t_total // t_tile
     n_ch = plane_rows(n_bits, req_data, req_sync)[0] if planes else 8
+    mxp1 = planes and n_bits <= MXP1_MAX_BITS and _mxp1_on()
+    extra_np = []
+    if mxp1:
+        ov = _statics(nb, max(bit_begin), t_tile)[5]
+        wc = np.zeros((ov * 128, 128), np.float32)
+        wb = np.zeros((ov * 128, 384), np.float32)
+        for m in range(128):
+            for k in range(n_bits):
+                j = m + int(bit_begin[k])
+                wc[j, m] = 1.0
+                wb[j, m] = 1.0                    # n_mark taps
+                if req_data[k] == 1:              # mism = n_req1
+                    wb[j, 128 + m] += -1.0        #   - sum bb over req1
+                elif req_data[k] == 0:            #   + sum bb over req0
+                    wb[j, 128 + m] += 1.0
+                wb[j, 256 + m] += float(1 << k)   # packed bits
+        extra_np = [wc, wb]
 
     def _run(x2d):
         B, L = int(x2d.shape[0]), int(x2d.shape[1])
         fn, n_rows_in, n_blocks = _build(geo_key, n_tiles, B, t_tile,
-                                         planes)
+                                         planes, mxp1)
         need = n_rows_in * 128
         if L < need:
             x2d = jnp.pad(x2d, ((0, 0), (0, need - L)))
@@ -320,7 +420,9 @@ def _make_packer(geo_key, t_total: int, planes: bool = False):
             x2d = x2d[:, :need]
         x3 = x2d.reshape(B, n_rows_in, 128)
         with jax.enable_x64(False):
-            out = fn(jnp.asarray(w_np), *([x3] * n_blocks))
+            out = fn(jnp.asarray(w_np),
+                     *[jnp.asarray(w) for w in extra_np],
+                     *([x3] * n_blocks))
         return out.reshape(B, n_ch, n_tiles * t_tile)
 
     def _single(x):
