@@ -21,10 +21,11 @@ scalar bitcasts (i32/f32 lane-vector blends), no unsigned or bool-typed
 reductions, no odd-length 1-D scans, int32 loop flags, 128-aligned HBM
 DMA starts and 1024-multiple DMA lane lengths.
 
-Compact mode only (n_data_bits <= 8), one-shot (no streaming carry) —
-eligible configs are routed here by DeviceReceiver/DeviceLoopback; the
-XLA while_loop remains the path for f64 geometries, wide data words,
-streaming carry, and very low baud rates (huge scan windows).
+Compact mode only (n_data_bits <= 8) — eligible configs are routed here
+by DeviceReceiver/DeviceLoopback; segmented/streaming decodes ride the
+round-3 carry + finalize flag.  The XLA while_loop remains the path for
+f64 geometries, wide data words, and very low baud rates (huge scan
+windows).
 
 Negative result (round 2), recorded so it isn't retried: a LOCKSTEP
 variant — C streams advancing through one shared while_loop, per-stream
