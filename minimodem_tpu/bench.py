@@ -97,9 +97,16 @@ def _bench_payload(cfg, audio_seconds: float) -> bytes:
 
 def decode_throughput(mode: str = "1200", audio_seconds: float = 60.0,
                       sample_rate: int = 48000, warmup: bool = True,
-                      precision: str = "auto", s16: bool = True) -> dict:
+                      precision: str = "auto", s16: bool = True,
+                      repeats: int = 1) -> dict:
     """End-to-end RX decode throughput (host audio -> decoded bytes) as a
-    real-time factor (audio-seconds decoded per wall-clock second)."""
+    real-time factor (audio-seconds decoded per wall-clock second).
+
+    This path uploads the full sample stream over the host link, whose
+    measured speed on this harness swings 7-49 MB/s run to run
+    (CLAUDE.md); repeats>1 re-times the same call and keeps the best
+    wall so one slow link sample doesn't masquerade as a decode
+    regression."""
     import numpy as np
 
     from .models.modem import FskModem
@@ -114,9 +121,11 @@ def decode_throughput(mode: str = "1200", audio_seconds: float = 60.0,
     if warmup:
         m.demodulate(samples)  # compile
 
-    t0 = time.perf_counter()
-    out = m.demodulate(samples)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(max(1, int(repeats))):
+        t0 = time.perf_counter()
+        out = m.demodulate(samples)
+        dt = min(dt, time.perf_counter() - t0)
 
     ok = out == payload
     return {
@@ -134,10 +143,20 @@ def batched_loopback_throughput(mode: str = "1200",
                                 audio_seconds: float = 60.0,
                                 batch: int = 16,
                                 sample_rate: int = 48000,
-                                precision: str = "auto") -> dict:
+                                precision: str = "auto",
+                                pipeline: int = 1) -> dict:
     """Aggregate decode throughput with `batch` concurrent streams in one
     device program (the production-serving configuration): audio-seconds
-    decoded per wall-clock second per chip."""
+    decoded per wall-clock second per chip.
+
+    pipeline=1 times one synchronous call (dispatch + device compute +
+    link round trip + host collection, serialized).  pipeline=K>1 times
+    the steady-state serving loop: batch j+1 is dispatched before batch
+    j's results are collected, so the host-side collection and the
+    ~30 ms tunnel round trip (CLAUDE.md) overlap device compute; the
+    wall still covers every dispatch, every collected result, and the
+    pipeline fill.  Every decoded byte of every pipelined batch is
+    verified (decode_exact covers all K*batch streams)."""
     import io
 
     from .codecs import Ascii8Codec, get_codec
@@ -149,30 +168,58 @@ def batched_loopback_throughput(mode: str = "1200",
 
     m = FskModem(mode, sample_rate=sample_rate, precision=precision)
     base = _bench_payload(m.cfg, audio_seconds)
-    payloads = [
-        bytes((b + i) % 94 + 33 for b in base)
-        for i in range(batch)
-    ]
-    scheds = [tx_bit_schedule(p, m.cfg, Ascii8Codec()) for p in payloads]
-    audio_sec = sum(len(s) for s in scheds) * m.cfg.bit_nsamples_tx / sample_rate
+    pipeline = max(1, int(pipeline))
+    # distinct payloads per stream AND per pipelined batch (same frame
+    # count -> same schedule length, so audio seconds are uniform)
+    sets = []
+    for j in range(pipeline):
+        payloads = [
+            bytes((b + i + 7 * j) % 94 + 33 for b in base)
+            for i in range(batch)
+        ]
+        scheds = [tx_bit_schedule(p, m.cfg, Ascii8Codec())
+                  for p in payloads]
+        sets.append((payloads, scheds))
+    audio_one = (sum(len(s) for s in sets[0][1])
+                 * m.cfg.bit_nsamples_tx / sample_rate)
+
+    def render_ok(payloads, events) -> bool:
+        ok = True
+        for i, p in enumerate(payloads):
+            sink = io.BytesIO()
+            rx = Receiver(m.cfg, RxOptions(), get_codec("ascii8"),
+                          sink.write, lambda s: None)
+            rx.render_events(*events[i])
+            ok = ok and sink.getvalue() == p
+        return ok
 
     lb = DeviceLoopback(m.cfg, precision)
-    events = lb.run_events_batch(scheds)  # compile + correctness
-    ok = True
-    for i, p in enumerate(payloads):
-        sink = io.BytesIO()
-        rx = Receiver(m.cfg, RxOptions(), get_codec("ascii8"),
-                      sink.write, lambda s: None)
-        rx.render_events(*events[i])
-        ok = ok and sink.getvalue() == p
+    events = lb.run_events_batch(sets[0][1])  # compile + correctness
+    ok = render_ok(sets[0][0], events)
 
-    t0 = time.perf_counter()
-    lb.run_events_batch(scheds)
-    dt = time.perf_counter() - t0
+    if pipeline == 1:
+        t0 = time.perf_counter()
+        lb.run_events_batch(sets[0][1])
+        dt = time.perf_counter() - t0
+        audio_sec = audio_one
+    else:
+        results = []
+        t0 = time.perf_counter()
+        handles = []
+        for j in range(pipeline):
+            handles.append(lb.dispatch_events_batch(sets[j][1]))
+            if j >= 1:
+                results.append(lb.collect_events_batch(handles[j - 1]))
+        results.append(lb.collect_events_batch(handles[-1]))
+        dt = time.perf_counter() - t0
+        audio_sec = audio_one * pipeline
+        for j, res in enumerate(results):
+            ok = ok and render_ok(sets[j][0], res)
 
     return {
         "mode": mode,
         "batch": batch,
+        "pipeline": pipeline,
         "audio_seconds": audio_sec,
         "wall_seconds": dt,
         "real_time_factor": audio_sec / dt,
@@ -329,9 +376,13 @@ def callerid_throughput(batch: int = 8, sample_rate: int = 48000,
 
 def loopback_throughput(mode: str = "1200", audio_seconds: float = 60.0,
                         sample_rate: int = 48000,
-                        precision: str = "auto") -> dict:
+                        precision: str = "auto",
+                        repeats: int = 1) -> dict:
     """Pure on-device decode throughput: the TX bit schedule is synthesized
-    and decoded on device; only frame events cross the host link."""
+    and decoded on device; only frame events cross the host link.
+
+    A single call still pays one ~30 ms link round trip (CLAUDE.md);
+    repeats>1 keeps the best wall to strip round-trip jitter."""
     import io
 
     from .codecs import Ascii8Codec, get_codec
@@ -354,9 +405,11 @@ def loopback_throughput(mode: str = "1200", audio_seconds: float = 60.0,
     rx.render_events(*result)
     ok = sink.getvalue() == payload
 
-    t0 = time.perf_counter()
-    lb.run_events(sched)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(max(1, int(repeats))):
+        t0 = time.perf_counter()
+        lb.run_events(sched)
+        dt = min(dt, time.perf_counter() - t0)
 
     return {
         "mode": mode,

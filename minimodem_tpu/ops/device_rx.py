@@ -162,8 +162,11 @@ def make_score_packer(cfg_key, t_total: int, input_dtype: str):
     # then only ever exist at tile size, bounding scoring memory to
     # O(n_bits * T_TILE) per stream instead of O(n_bits * T)
     T_TILE = min(t_total, 1 << 18)
-    assert t_total % T_TILE == 0, (t_total, T_TILE)
-    N_TILES = t_total // T_TILE
+    # t_total need not divide evenly (pad-free mega score lengths are
+    # multiples of the fused scorer's 32K tile, not this 256K one):
+    # score a zero-padded tail tile and slice the garbage offsets off
+    t_pad = (-t_total) % T_TILE
+    N_TILES = (t_total + t_pad) // T_TILE
 
     def score_arrays(x):
         """stages 1+2 -> packed per-offset channels [8, t_total] uint32."""
@@ -174,13 +177,17 @@ def make_score_packer(cfg_key, t_total: int, input_dtype: str):
         xd = x.astype(dtype)
         if N_TILES == 1:
             return _score_tile(xd, t_total, t_total + geo.max_begin)
+        if t_pad:
+            xd = jnp.pad(xd, (0, t_pad))
         tiles = jnp.stack([
             xd[k * T_TILE: k * T_TILE + T_TILE + geo.halo]
             for k in range(N_TILES)])
         packed_tiles = jax.lax.map(
             lambda xt: _score_tile(xt, T_TILE, T_TILE + geo.max_begin),
             tiles)                                  # [N_TILES, 8, T_TILE]
-        return packed_tiles.transpose(1, 0, 2).reshape(8, t_total)
+        packed = packed_tiles.transpose(1, 0, 2).reshape(
+            8, N_TILES * T_TILE)
+        return packed[:, :t_total] if t_pad else packed
 
     def _score_tile(xd, t_len, tile_s_len):
         corr = correlate_any(xd, geo, basis_np, tile_s_len)
@@ -1053,10 +1060,15 @@ class DeviceLoopback:
         self._fns[cache_key] = (fn, compact, use_mega)
         return fn, compact, use_mega
 
-    def run_events_batch(self, sched_list, conf_threshold: float = 1.5,
-                         conf_search_limit: float = 2.3):
-        """sched_list: list of uint8 bit schedules (one per stream).
-        Returns per-stream event tuples (see _collect_results)."""
+    def dispatch_events_batch(self, sched_list, conf_threshold: float = 1.5,
+                              conf_search_limit: float = 2.3):
+        """Async half of run_events_batch: upload + enqueue the device
+        program and return an opaque handle WITHOUT waiting for results
+        (jax dispatch is asynchronous).  A serving loop that dispatches
+        batch i+1 before collecting batch i overlaps the host-side event
+        collection and the link round trip with device compute — the
+        steady-state pipelined configuration (this harness pays ~30 ms
+        of tunnel latency per synchronous call; see CLAUDE.md)."""
         import jax.numpy as jnp
 
         assert self.uniform, (
@@ -1075,7 +1087,20 @@ class DeviceLoopback:
             jnp.asarray(bits_pk), jnp.asarray(totals),
             np.float32(conf_threshold), np.float32(conf_search_limit),
             zero_carry(len(sched_list)))
-        return _collect_results(out, len(sched_list), compact)
+        return out, len(sched_list), compact
+
+    def collect_events_batch(self, handle):
+        """Blocking half of run_events_batch: pull one dispatched batch's
+        results over the link and unpack per-stream event tuples."""
+        out, b, compact = handle
+        return _collect_results(out, b, compact)
+
+    def run_events_batch(self, sched_list, conf_threshold: float = 1.5,
+                         conf_search_limit: float = 2.3):
+        """sched_list: list of uint8 bit schedules (one per stream).
+        Returns per-stream event tuples (see _collect_results)."""
+        return self.collect_events_batch(self.dispatch_events_batch(
+            sched_list, conf_threshold, conf_search_limit))
 
     def run_events_frames_batch(self, frame_sched_list,
                                 lead_trail: tuple = (2, 2),

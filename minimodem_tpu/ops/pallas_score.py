@@ -71,6 +71,31 @@ def _mxp1_on() -> bool:
     return os.environ.get("MINIMODEM_TPU_MXP1", "1") not in (
         "0", "", "off")
 
+
+# Mosaic's scoped-VMEM stack limit is 16 MB; the MXP1 comb weights scale
+# with the overlapped-plane span (wc: OV*128 x 128, wb: OV*128 x 384), so
+# long-bit geometries (rtty at 48 kHz: max_begin ~7400 -> OV=59 ->
+# ~15.5 MB of weights alone) blow the stack that Bell202 (OV=5) never
+# approaches.  Estimate the kernel's resident VMEM and fall back to the
+# VPU pass 1 (identical decisions, ~13 ms slower on the 64 x 60 s
+# Bell202 batch) when MXP1 doesn't fit.
+_MXP1_VMEM_BUDGET = 14 << 20
+
+
+def _mxp1_fits(nb: int, max_begin: int, t_tile: int) -> bool:
+    kdim, r_out, n_blocks, r_corr, k128, ov = _statics(nb, max_begin,
+                                                       t_tile)
+    ovk = ov * 128
+    total = (
+        kdim * 512 * 4                 # banded W block
+        + ovk * 512 * 4                # wc + wb comb weights
+        + 2 * n_blocks * r_out * 128 * 4   # double-buffered inputs
+        + 2 * 4 * r_out * 128 * 4      # double-buffered out (planes)
+        + r_corr * kdim * 4            # im2col scratch
+        + 2 * r_out * ovk * 4          # pss + png slabs
+    )
+    return total <= _MXP1_VMEM_BUDGET
+
 # VMEM guards for the scratch slabs (bytes)
 _MAX_X2_BYTES = 4 << 20
 _MAX_PLANE_BYTES = 2 << 20
@@ -391,7 +416,8 @@ def _make_packer(geo_key, t_total: int, planes: bool = False):
     assert t_tile is not None, (nb, t_total)
     n_tiles = t_total // t_tile
     n_ch = plane_rows(n_bits, req_data, req_sync)[0] if planes else 8
-    mxp1 = planes and n_bits <= MXP1_MAX_BITS and _mxp1_on()
+    mxp1 = (planes and n_bits <= MXP1_MAX_BITS and _mxp1_on()
+            and _mxp1_fits(nb, max(bit_begin), t_tile))
     extra_np = []
     if mxp1:
         ov = _statics(nb, max(bit_begin), t_tile)[5]

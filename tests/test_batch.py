@@ -55,3 +55,33 @@ def test_batched_loopback():
     events = lb.run_events_batch(scheds)
     for i, p in enumerate(payloads):
         assert _render(m.cfg, *events[i]) == p
+
+
+def test_pipelined_dispatch_collect_matches_sync():
+    """The async serving loop (dispatch batch j+1 before collecting
+    batch j — bench.py's pipelined configuration) must return exactly
+    what the synchronous call returns, batch for batch."""
+    m = FskModem("1200")
+    sets = [
+        [b"pipe batch 0 stream A", b"pb0 B"],
+        [b"pipe batch 1 stream A, different text", b"pb1 B!"],
+        [b"third batch", b"3rd, stream two"],
+    ]
+    scheds = [[tx_bit_schedule(p, m.cfg, Ascii8Codec()) for p in ps]
+              for ps in sets]
+    lb = DeviceLoopback(m.cfg)
+    sync = [lb.run_events_batch(s) for s in scheds]
+
+    handles = []
+    results = []
+    for j, s in enumerate(scheds):
+        handles.append(lb.dispatch_events_batch(s))
+        if j >= 1:
+            results.append(lb.collect_events_batch(handles[j - 1]))
+    results.append(lb.collect_events_batch(handles[-1]))
+
+    for j, ps in enumerate(sets):
+        for i, p in enumerate(ps):
+            assert _render(m.cfg, *results[j][i]) == p
+            for a, b in zip(sync[j][i], results[j][i]):
+                assert np.array_equal(a, b)
