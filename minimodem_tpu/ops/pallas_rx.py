@@ -510,6 +510,40 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
 
             return cur, n_by + jnp.where(emit, 1, 0)
 
+        def byte_append_run(cur, n_by, words):
+            """Append len(words) consecutive bytes to the ring in ONE
+            blend (fast-commit chains without sync-byte suppression:
+            every byte kept, positions n_by..n_by+S-1).  The per-frame
+            path is an S-deep serial compare+blend+conditional-store
+            chain; here the one-hot selects are independent (tree sum)
+            and at most one row store fires per chain.  d = (lane -
+            n_by) mod 128 < S selects BOTH segments of a row-crossing
+            run; the store (condition: this run fills lane 127, same
+            rule as byte_append) uses the tail-only blend so bytes of
+            the next row never leak into the stored one."""
+            S = len(words)
+            d = (lane128b - n_by) & jnp.int32(127)
+            parts = [jnp.where(d == jnp.int32(k), words[k], jnp.int32(0))
+                     for k in range(S)]
+            while len(parts) > 1:
+                parts = ([parts[i] + parts[i + 1]
+                          for i in range(0, len(parts) - 1, 2)]
+                         + ([parts[-1]] if len(parts) & 1 else []))
+            wv = parts[0]
+            s = n_by & jnp.int32(127)
+            in_run = d < jnp.int32(S)
+            tail = jnp.logical_and(in_run, lane128b >= s)
+            cur_pre = jnp.where(tail, wv, cur)
+
+            @pl.when(s >= jnp.int32(128 - S))
+            def _():
+                bytes_vmem[pl.ds(n_by // 128, 1), :] = cur_pre
+
+            # lanes of the just-stored row keep stale values in the
+            # carry; every lane is re-blended before the next store
+            return (jnp.where(in_run, wv, cur),
+                    n_by + jnp.int32(S))
+
         def decode_word(blo):
             """Frame bits -> (data byte, keep flag): strip stop/prev +
             start bits, mask to n_data_bits, optional MSB-first
@@ -855,9 +889,17 @@ def build_mega_rx(cfg_key, t_total: int, rx_one: bool, batch: int,
                     peak2 = jnp.maximum(peak2, cs[k])
                     conf_tot2 = conf_tot2 + cs[k]
                     ampl_tot2 = ampl_tot2 + avs[k]
-                    word, keep = decode_word(bvs[k])
-                    byrow2, n_by2 = byte_append(byrow2, n_by2, word,
-                                                keep)
+                if sync_ok:
+                    for k in range(spec_depth):
+                        word, keep = decode_word(bvs[k])
+                        byrow2, n_by2 = byte_append(byrow2, n_by2, word,
+                                                    keep)
+                else:
+                    # keep is constantly True without a sync byte: the
+                    # chain's bytes land at consecutive ring positions
+                    words = [decode_word(bvs[k])[0]
+                             for k in range(spec_depth)]
+                    byrow2, n_by2 = byte_append_run(byrow2, n_by2, words)
                 pos2 = pos + jnp.int32(spec_depth * adv_fast)
                 carrier_ns2 = carrier_ns + jnp.int32(
                     spec_depth * adv_fast)

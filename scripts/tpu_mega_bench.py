@@ -58,7 +58,38 @@ def main():
         for a, b in zip(ref[i], mega[i]):
             if not np.array_equal(a, b):
                 ok = False
-    print(f"parity: {'OK' if ok else 'MISMATCH'}")
+    print(f"parity (exact): {'OK' if ok else 'MISMATCH'}")
+
+    # decision-level parity: rendered bytes + stats lines.  The XLA
+    # receiver rides the v2 8-row fused scorer (VPU pass 1) while mega
+    # rides the planes scorer (MXU pass 1) — conf/ampl floats can
+    # drift in the last bits between those lowerings, so exact event
+    # equality can fail while every DECISION (bytes, frame boundaries,
+    # stats strings, which round to %.2f/%.3f) is identical.
+    import io
+
+    from minimodem_tpu.codecs import get_codec
+    from minimodem_tpu.config import RxOptions
+    from minimodem_tpu.rx.engine import Receiver
+
+    def render(ev):
+        sink = io.BytesIO()
+        stats = []
+        rx = Receiver(m.cfg, RxOptions(), get_codec("ascii8"),
+                      sink.write, stats.append)
+        rx.render_events(*ev)
+        return sink.getvalue(), stats
+
+    dok = True
+    for i in range(batch):
+        ra, sa = render(ref[i])
+        rb, sb = render(mega[i])
+        if ra != rb or sa != sb:
+            dok = False
+            print(f"  stream {i}: bytes {'==' if ra == rb else '!='} "
+                  f"stats {'==' if sa == sb else '!='}")
+    ok = dok
+    print(f"parity (decisions): {'OK' if dok else 'MISMATCH'}")
     n_frames = sum(len(e[2]) for e in mega)
     print(f"frames={n_frames}  mega us/frame={dt_m*1e6/max(n_frames,1):.2f}")
     return 0 if ok else 1

@@ -135,6 +135,20 @@ def build_variant(geo_key, n_tiles, batch, t_tile, variant):
 
         if variant == "nop2":
             divergence = zf
+        elif variant in ("split2", "split4"):
+            # break the 11-tap serial accumulation chain into N
+            # independent chains (latency experiment: pass 2 measured
+            # ~40% above its op-count floor, suggesting dependency
+            # stalls, not issue width)
+            nacc = 2 if variant == "split2" else 4
+            accs = [zf] * nacc
+            for k in range(n_bits):
+                ssk = shift_ss(int(bit_begin[k]))
+                sbk = jnp.abs(ssk)
+                avg_own = jnp.where(ssk > 0, avg_mark, avg_space)
+                accs[k % nacc] = (accs[k % nacc]
+                                  + jnp.abs(sbk - avg_own) / avg_own)
+            divergence = functools.reduce(jnp.add, accs)
         elif variant == "nodiv":
             acc_m = zf
             acc_s = zf
