@@ -203,14 +203,20 @@ def batched_loopback_throughput(mode: str = "1200",
         dt = time.perf_counter() - t0
         audio_sec = audio_one
     else:
+        # depth-2 + async result prefetch: while the device runs batch
+        # j, batch j-1's results transfer asynchronously and batch j-2
+        # unpacks on host — steady state pays device compute only
         results = []
         t0 = time.perf_counter()
         handles = []
         for j in range(pipeline):
             handles.append(lb.dispatch_events_batch(sets[j][1]))
             if j >= 1:
-                results.append(lb.collect_events_batch(handles[j - 1]))
-        results.append(lb.collect_events_batch(handles[-1]))
+                lb.prefetch_events_batch(handles[j - 1])
+            if j >= 2:
+                results.append(lb.collect_events_batch(handles[j - 2]))
+        for h in handles[-2:] if pipeline >= 2 else handles[-1:]:
+            results.append(lb.collect_events_batch(h))
         dt = time.perf_counter() - t0
         audio_sec = audio_one * pipeline
         for j, res in enumerate(results):

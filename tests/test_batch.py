@@ -77,8 +77,11 @@ def test_pipelined_dispatch_collect_matches_sync():
     for j, s in enumerate(scheds):
         handles.append(lb.dispatch_events_batch(s))
         if j >= 1:
-            results.append(lb.collect_events_batch(handles[j - 1]))
-    results.append(lb.collect_events_batch(handles[-1]))
+            lb.prefetch_events_batch(handles[j - 1])
+        if j >= 2:
+            results.append(lb.collect_events_batch(handles[j - 2]))
+    for h in handles[-2:]:
+        results.append(lb.collect_events_batch(h))
 
     for j, ps in enumerate(sets):
         for i, p in enumerate(ps):
