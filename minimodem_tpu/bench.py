@@ -144,7 +144,8 @@ def batched_loopback_throughput(mode: str = "1200",
                                 batch: int = 16,
                                 sample_rate: int = 48000,
                                 precision: str = "auto",
-                                pipeline: int = 1) -> dict:
+                                pipeline: int = 1,
+                                chain: int = 1) -> dict:
     """Aggregate decode throughput with `batch` concurrent streams in one
     device program (the production-serving configuration): audio-seconds
     decoded per wall-clock second per chip.
@@ -156,7 +157,13 @@ def batched_loopback_throughput(mode: str = "1200",
     ~30 ms tunnel round trip (CLAUDE.md) overlap device compute; the
     wall still covers every dispatch, every collected result, and the
     pipeline fill.  Every decoded byte of every pipelined batch is
-    verified (decode_exact covers all K*batch streams)."""
+    verified (decode_exact covers all K*batch streams).
+
+    chain=C>1 (requires pipeline % C == 0, pipeline/C >= 2) groups the
+    pipelined batches into chains of C executed as ONE device program
+    each (DeviceLoopback.dispatch_events_chain): this harness pays
+    ~25 ms of fixed per-execute cost per program, so chaining raises
+    steady-state throughput; pipelining then overlaps across chains."""
     import io
 
     from .codecs import Ascii8Codec, get_codec
@@ -202,6 +209,25 @@ def batched_loopback_throughput(mode: str = "1200",
         lb.run_events_batch(sets[0][1])
         dt = time.perf_counter() - t0
         audio_sec = audio_one
+    elif chain > 1 and pipeline % chain == 0 and pipeline // chain >= 2:
+        ngroups = pipeline // chain
+        groups = [[sets[g * chain + j][1] for j in range(chain)]
+                  for g in range(ngroups)]
+        lb.run_events_chain(groups[0])  # compile the chained program
+        results_flat = []
+        t0 = time.perf_counter()
+        handles = []
+        for g in range(ngroups):
+            handles.append(lb.dispatch_events_chain(groups[g]))
+            if g >= 1:
+                lb.prefetch_events_chain(handles[g - 1])
+                results_flat.extend(lb.collect_events_chain(handles[g - 1]))
+        results_flat.extend(lb.collect_events_chain(handles[-1]))
+        dt = time.perf_counter() - t0
+        audio_sec = audio_one * pipeline
+        for j in range(pipeline):
+            ok = ok and render_ok(sets[j][0],
+                                  results_flat[j * batch:(j + 1) * batch])
     else:
         # depth-2 + async result prefetch: while the device runs batch
         # j, batch j-1's results transfer asynchronously and batch j-2
@@ -226,6 +252,7 @@ def batched_loopback_throughput(mode: str = "1200",
         "mode": mode,
         "batch": batch,
         "pipeline": pipeline,
+        "chain": chain,
         "audio_seconds": audio_sec,
         "wall_seconds": dt,
         "real_time_factor": audio_sec / dt,

@@ -979,14 +979,14 @@ class DeviceLoopback:
         self._geo = geometry_from_config(cfg, precision)
 
     def _fn_for(self, b_pad: int, batch: int, frames_mode: bool = False,
-                lead_trail: tuple = (2, 2)):
+                lead_trail: tuple = (2, 2), chain: int = 1):
         import jax
         import jax.numpy as jnp
 
         from .pallas_rx import build_mega_rx, mega_default_on, mega_supported
         from .tx_device import device_synthesize, device_synthesize_frames
 
-        cache_key = (b_pad, batch, frames_mode, lead_trail)
+        cache_key = (b_pad, batch, frames_mode, lead_trail, chain)
         fn = self._fns.get(cache_key)
         if fn is not None:
             return fn
@@ -1049,14 +1049,35 @@ class DeviceLoopback:
             out = rx_fn(x, total, thr, lim, carry)
             return out[:-1]  # drop carry
 
+        run = loop
+        if chain > 1:
+            # K sub-batches sequenced INSIDE one device program: each
+            # fn() call on this harness pays ~25 ms of fixed per-execute
+            # cost (remote-service dispatch; measured 142 ms/call
+            # back-to-back on device-resident inputs vs ~117 ms of
+            # chained in-jit device compute for the 64 x 60 s Bell202
+            # batch) — a lax.scan over stacked schedules pays it once
+            # per K batches.  Memory stays flat: scan runs sub-batches
+            # sequentially, so only one ~3 GB score buffer is live.
+            assert not frames_mode, "chain rides the flat-bits path"
+
+            def loop_k(bits_k, totals_k, thr, lim, carry):
+                def body(_, args):
+                    bits_j, total_j = args
+                    return 0, loop(bits_j, total_j, thr, lim, carry)
+
+                _, outs = jax.lax.scan(body, 0, (bits_k, totals_k))
+                return outs
+
+            run = loop_k
         if use_mega:
             # f64 synth + Pallas kernel in one program: trace under the
             # ambient x64 config, lower under x64-off (utils/aot.py)
             from ..utils.aot import jit_mosaic
 
-            fn = jit_mosaic(loop)
+            fn = jit_mosaic(run)
         else:
-            fn = jax.jit(loop, static_argnames=())
+            fn = jax.jit(run, static_argnames=())
         self._fns[cache_key] = (fn, compact, use_mega)
         return fn, compact, use_mega
 
@@ -1117,6 +1138,78 @@ class DeviceLoopback:
         Returns per-stream event tuples (see _collect_results)."""
         return self.collect_events_batch(self.dispatch_events_batch(
             sched_list, conf_threshold, conf_search_limit))
+
+    def dispatch_events_chain(self, sched_lists, conf_threshold: float = 1.5,
+                              conf_search_limit: float = 2.3):
+        """Dispatch K equal-width batches as ONE device program (a
+        lax.scan over stacked schedules).  Each fn() call on this
+        harness pays ~25 ms of fixed per-execute cost regardless of
+        pipelining (measured: 12 back-to-back 64-stream dispatches on
+        device-resident inputs run 142 ms/batch vs ~117 ms of in-jit
+        device compute); chaining pays it once per K batches.  Results
+        arrive together when the whole chain finishes — pipeline chains,
+        not batches, for latency overlap."""
+        import jax.numpy as jnp
+
+        assert self.uniform, (
+            "flat bit schedules need uniform bit segments; use "
+            "run_events_frames_batch for fractional stop bits")
+        K = len(sched_lists)
+        batch = len(sched_lists[0])
+        assert all(len(s) == batch for s in sched_lists), \
+            "chained batches must be equal width"
+        b_real = [[len(s) for s in scheds] for scheds in sched_lists]
+        mx = max(max(r) for r in b_real)
+        b_pad = ((mx + 4095) // 4096) * 4096
+        bits = np.zeros((K, batch, b_pad), np.uint8)
+        for k, scheds in enumerate(sched_lists):
+            for i, s in enumerate(scheds):
+                bits[k, i, :len(s)] = s
+        bits_pk = np.packbits(bits, axis=2, bitorder="little")
+        totals = np.asarray(
+            [[n * self.bit_ns for n in r] for r in b_real], np.int32)
+        fn, compact, use_mega = self._fn_for(b_pad, batch, chain=K)
+        out = fn(
+            jnp.asarray(bits_pk), jnp.asarray(totals),
+            np.float32(conf_threshold), np.float32(conf_search_limit),
+            zero_carry(batch))
+        return out, K, batch, compact
+
+    def prefetch_events_chain(self, handle):
+        """Async device->host copy kick for a dispatched chain (same
+        contract as prefetch_events_batch)."""
+        out, K, batch, compact = handle
+        leaves = (out[0],) if compact else tuple(out)
+        for x in leaves:
+            fn = getattr(x, "copy_to_host_async", None)
+            if fn is not None:
+                fn()
+        return handle
+
+    def collect_events_chain(self, handle):
+        """Blocking collect of a dispatched chain: K * batch per-stream
+        event tuples, chain-major (sub-batch 0's streams first).  The
+        stacked result arrays cross the link ONCE (per-k device slices
+        would each pay a dispatch round trip); only the rare
+        event-overflow path touches the device again."""
+        out, K, batch, compact = handle
+        res = []
+        if compact:
+            flat_all = np.asarray(out[0])
+            for k in range(K):
+                res.extend(_collect_results(
+                    (flat_all[k], out[1][k]), batch, True))
+            return res
+        leaves = [np.asarray(x) for x in out]
+        for k in range(K):
+            res.extend(_collect_results(
+                tuple(x[k] for x in leaves), batch, False))
+        return res
+
+    def run_events_chain(self, sched_lists, conf_threshold: float = 1.5,
+                         conf_search_limit: float = 2.3):
+        return self.collect_events_chain(self.dispatch_events_chain(
+            sched_lists, conf_threshold, conf_search_limit))
 
     def run_events_frames_batch(self, frame_sched_list,
                                 lead_trail: tuple = (2, 2),

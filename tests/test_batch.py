@@ -88,3 +88,28 @@ def test_pipelined_dispatch_collect_matches_sync():
             assert _render(m.cfg, *results[j][i]) == p
             for a, b in zip(sync[j][i], results[j][i]):
                 assert np.array_equal(a, b)
+
+
+def test_chained_batches_match_sync():
+    """K batches executed as ONE device program (lax.scan chain —
+    DeviceLoopback.run_events_chain) must return exactly what K
+    separate synchronous calls return, stream for stream."""
+    m = FskModem("1200")
+    sets = [
+        [b"chain batch 0 stream A", b"cb0 B"],
+        [b"chain batch 1 stream A, different text", b"cb1 B!"],
+        [b"chain batch 2", b"2nd str"],
+    ]
+    scheds = [[tx_bit_schedule(p, m.cfg, Ascii8Codec()) for p in ps]
+              for ps in sets]
+    lb = DeviceLoopback(m.cfg)
+    sync = [lb.run_events_batch(s) for s in scheds]
+
+    flat = lb.run_events_chain(scheds)
+    assert len(flat) == sum(len(ps) for ps in sets)
+    for j, ps in enumerate(sets):
+        for i, p in enumerate(ps):
+            got = flat[j * len(ps) + i]
+            assert _render(m.cfg, *got) == p
+            for a, b in zip(sync[j][i], got):
+                assert np.array_equal(a, b)
