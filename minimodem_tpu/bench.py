@@ -204,12 +204,17 @@ def batched_loopback_throughput(mode: str = "1200",
     events = lb.run_events_batch(sets[0][1])  # compile + correctness
     ok = render_ok(sets[0][0], events)
 
+    if chain > 1 and (pipeline % chain != 0 or pipeline // chain < 2):
+        raise ValueError(
+            f"chain={chain} requires pipeline % chain == 0 and "
+            f"pipeline // chain >= 2 (got pipeline={pipeline}); the "
+            "result record must not mislabel the measured configuration")
     if pipeline == 1:
         t0 = time.perf_counter()
         lb.run_events_batch(sets[0][1])
         dt = time.perf_counter() - t0
         audio_sec = audio_one
-    elif chain > 1 and pipeline % chain == 0 and pipeline // chain >= 2:
+    elif chain > 1:
         ngroups = pipeline // chain
         groups = [[sets[g * chain + j][1] for j in range(chain)]
                   for g in range(ngroups)]
@@ -217,12 +222,18 @@ def batched_loopback_throughput(mode: str = "1200",
         results_flat = []
         t0 = time.perf_counter()
         handles = []
+        # three chains in flight: prefetch g-1 right after dispatching
+        # g (the async copy rides chain g's device compute), collect
+        # g-2 (its transfer already landed) — mirrors the depth-2 +
+        # prefetch structure of the non-chain pipeline below
         for g in range(ngroups):
             handles.append(lb.dispatch_events_chain(groups[g]))
             if g >= 1:
                 lb.prefetch_events_chain(handles[g - 1])
-                results_flat.extend(lb.collect_events_chain(handles[g - 1]))
-        results_flat.extend(lb.collect_events_chain(handles[-1]))
+            if g >= 2:
+                results_flat.extend(lb.collect_events_chain(handles[g - 2]))
+        for h in (handles[-2:] if ngroups >= 2 else handles):
+            results_flat.extend(lb.collect_events_chain(h))
         dt = time.perf_counter() - t0
         audio_sec = audio_one * pipeline
         for j in range(pipeline):

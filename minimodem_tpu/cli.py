@@ -32,7 +32,7 @@ _LONG_OPTS = [
     "confidence=", "limit=", "auto-carrier", "inverted", "ascii", "baudot",
     "usos=", "msb-first", "file=", "bandwidth=", "volume=", "mark=",
     "space=", "startbits=", "stopbits=", "invert-start-stop", "sync-byte=",
-    "quiet", "alsa=", "alsa", "sndio=", "sndio", "samplerate=", "lut=",
+    "quiet", "alsa=", "sndio=", "samplerate=", "lut=",
     "float-samples", "rx-one", "benchmarks", "binary-output", "binary-raw=",
     "print-filter", "print-eot", "Xrxnoise=", "tx-carrier",
     # extensions beyond the reference:
@@ -130,8 +130,72 @@ def _strtol0(s: str) -> int:
     return sign * v
 
 
+# short options with a required argument (the ':'-suffixed entries of
+# _SHORT_OPTS) — the optional-arg pre-splitter must not rewrite their
+# attached or following argument
+_OPT_REQARG = {c for c, nxt in zip(_SHORT_OPTS, _SHORT_OPTS[1:] + " ")
+               if c != ":" and nxt == ":"}
+# GNU optional-argument short options (reference optstring `s::A::`,
+# src/minimodem.c:634) mapped to their equivalent long form
+_OPT_OPTARG = {"A": "--alsa", "s": "--sndio"}
+
+
+def _presplit_optional_args(argv: list) -> list:
+    """GNU-getopt optional-arg parity: the reference declares `s::A::`
+    (src/minimodem.c:634), so `-Aplughw:1,0` / `-s<dev>` attach the
+    device name to the flag (a separate following word is NOT consumed
+    — GNU optional args must be attached).  Python getopt has no
+    optional short arguments; rewrite `-A<dev>` / `-s<dev>` — including
+    inside clusters like `-qAdev` — into the equivalent long form
+    before parsing.  Bare long forms `--alsa` / `--sndio` are likewise
+    normalized to `--alsa=` / `--sndio=` so the optional long argument
+    never consumes the following word (GNU `optional_argument`
+    semantics)."""
+    bare_long = {lo: lo + "=" for lo in _OPT_OPTARG.values()}
+    out = []
+    i, n = 0, len(argv)
+    while i < n:
+        a = argv[i]
+        if a == "--":
+            out.extend(argv[i:])
+            return out
+        if a in bare_long:
+            out.append(bare_long[a])
+            i += 1
+            continue
+        if len(a) < 2 or a[0] != "-" or a[1] == "-":
+            out.append(a)
+            i += 1
+            continue
+        j, handled = 1, False
+        while j < len(a):
+            ch = a[j]
+            if ch in _OPT_OPTARG:
+                if a[1:j]:
+                    out.append("-" + a[1:j])    # preceding cluster flags
+                out.append(_OPT_OPTARG[ch] + "=" + a[j + 1:])
+                handled = True
+                break
+            if ch in _OPT_REQARG:
+                # required-arg option: the rest of the cluster (or the
+                # next word) is its argument — copy verbatim so an
+                # argument like "-Afile.wav" is never rewritten
+                out.append(a)
+                if j == len(a) - 1 and i + 1 < n:
+                    out.append(argv[i + 1])
+                    i += 1
+                handled = True
+                break
+            j += 1
+        if not handled:
+            out.append(a)
+        i += 1
+    return out
+
+
 def main(argv=None) -> int:
-    argv = list(sys.argv[1:] if argv is None else argv)
+    argv = _presplit_optional_args(
+        list(sys.argv[1:] if argv is None else argv))
     try:
         optlist, args = getopt.gnu_getopt(argv, _SHORT_OPTS, _LONG_OPTS)
     except getopt.GetoptError as e:

@@ -1155,6 +1155,10 @@ class DeviceLoopback:
             "flat bit schedules need uniform bit segments; use "
             "run_events_frames_batch for fractional stop bits")
         K = len(sched_lists)
+        assert K >= 2, (
+            "dispatch_events_chain needs >= 2 sub-batches (the chained "
+            "program scans a leading K axis); use dispatch_events_batch "
+            "for a single batch")
         batch = len(sched_lists[0])
         assert all(len(s) == batch for s in sched_lists), \
             "chained batches must be equal width"
@@ -1200,10 +1204,19 @@ class DeviceLoopback:
                 res.extend(_collect_results(
                     (flat_all[k], out[1][k]), batch, True))
             return res
-        leaves = [np.asarray(x) for x in out]
+        # Wide events: the stacked log is [K, 8, batch, max_events] and
+        # max_events ~ t_total // min_advance — hundreds of MB for long
+        # audio on the ~10-40 MB/s link.  Fetch the small n array first,
+        # then transfer one device-sliced prefix (two round trips total
+        # instead of a full-buffer copy).
+        ev_dev, n_dev = out
+        n_all = np.asarray(n_dev)                      # [K, batch] i32
+        kmax = max(int(n_all.max(initial=0)), 1)
+        ev_all = np.asarray(ev_dev[:, :, :, :kmax])    # [K, 8, batch, kmax]
         for k in range(K):
-            res.extend(_collect_results(
-                tuple(x[k] for x in leaves), batch, False))
+            res.extend(
+                unpack_events(ev_all[k][:, i, :], int(n_all[k, i]))
+                for i in range(batch))
         return res
 
     def run_events_chain(self, sched_lists, conf_threshold: float = 1.5,

@@ -90,6 +90,42 @@ def test_pipelined_dispatch_collect_matches_sync():
                 assert np.array_equal(a, b)
 
 
+def test_chained_wide_collect_slices_prefix():
+    """The wide-event chained collect must fetch only the used event
+    prefix (the full [K, 8, B, max_events] log is hundreds of MB on the
+    host link for long audio) and return exactly what full-buffer
+    unpacking returns."""
+    import jax.numpy as jnp
+
+    from minimodem_tpu.ops.device_rx import unpack_events
+
+    rng = np.random.default_rng(7)
+    K, B, E = 3, 2, 512
+    ev = rng.integers(0, 1 << 16, size=(K, 8, B, E)).astype(np.uint32)
+    n = np.array([[3, 0], [5, 2], [1, 4]], np.int32)
+    lb = DeviceLoopback(FskModem("1200").cfg)
+    got = lb.collect_events_chain(
+        ((jnp.asarray(ev), jnp.asarray(n)), K, B, False))
+    assert len(got) == K * B
+    for k in range(K):
+        for i in range(B):
+            want = unpack_events(ev[k][:, i, :], int(n[k, i]))
+            for a, b in zip(got[k * B + i], want):
+                assert np.array_equal(a, b)
+
+
+def test_chain_rejects_single_subbatch():
+    """K=1 chains would compile the unchained loop and fail with a shape
+    error at call time; the dispatcher must reject them up front."""
+    import pytest
+
+    m = FskModem("1200")
+    lb = DeviceLoopback(m.cfg)
+    sched = tx_bit_schedule(b"one", m.cfg, Ascii8Codec())
+    with pytest.raises(AssertionError, match=">= 2 sub-batches"):
+        lb.dispatch_events_chain([[sched]])
+
+
 def test_chained_batches_match_sync():
     """K batches executed as ONE device program (lax.scan chain —
     DeviceLoopback.run_events_chain) must return exactly what K
