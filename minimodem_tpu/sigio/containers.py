@@ -216,6 +216,11 @@ class Aiff(_Codec):
                 raise RuntimeError(
                     f"{stream.path}: unsupported AIFF bit depth {bits}")
             _set_src(stream, rate, ch, dt, bits, _PCM, data_nbytes)
+        elif compression in (b"ulaw", b"ULAW"):
+            # G.711 bytes decoded by wavfile._read's companded branch
+            _set_src(stream, rate, ch, "ulaw", 16, 7, data_nbytes)
+        elif compression in (b"alaw", b"ALAW"):
+            _set_src(stream, rate, ch, "alaw", 16, 6, data_nbytes)
         else:
             raise RuntimeError(
                 f"{stream.path}: unsupported AIFC compression "
@@ -1141,6 +1146,22 @@ def _alaw_decode_table() -> np.ndarray:
 
 
 _ALAW_DEC = _alaw_decode_table()
+
+
+def _ulaw_decode_table() -> np.ndarray:
+    """G.711 u-law -> int16 (16-bit range), the table libsndfile uses
+    (reference reads these transparently via sf_readf_float,
+    src/simpleaudio-sndfile.c:46-70)."""
+    out = np.empty(256, np.int16)
+    for i in range(256):
+        u = ~i & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        out[i] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    return out
+
+
+_ULAW_DEC = _ulaw_decode_table()
 # encode via nearest-boundary search over the decode table's positive half
 _ALAW_SEG = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF],
                      np.int32)

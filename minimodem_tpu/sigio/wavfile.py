@@ -10,12 +10,15 @@ Containers (selected by filename extension on write, by magic on read,
 mirroring the reference's extension table at
 src/simpleaudio-sndfile.c:111-157):
 - .wav  : RIFF/WAVE; writes PCM16/24/32 (pcm_bits) or IEEE-float32, reads
-          PCM8/16/24/32, float32/64, and EXTENSIBLE
+          PCM8/16/24/32, float32/64, EXTENSIBLE, G.711 u-law/A-law, and
+          IMA/DVI ADPCM (the reference accepts any libsndfile-readable
+          subformat via sf_readf_float, src/simpleaudio-sndfile.c:46-70)
 - .flac : reads via the native decoder (native/flacdec.cpp), writes via
           the deterministic encoder (sigio/flacenc.py)
 - .ogg  : Vorbis via the runtime-loaded Xiph libraries
           (sigio/oggvorbis.py)
-- .au   : Sun AU, PCM16-BE or float32-BE
+- .au   : Sun AU; writes PCM16-BE or float32-BE, reads additionally
+          PCM8(signed)/24/32-BE, float64-BE, u-law, A-law
 - .raw  : headerless samples at the configured rate/format
 - .aiff/.aif .caf .w64 .rf64 .wavex .nist .ircam .pvf .htk .avr .voc
   .svx .mat4 .mat5 .paf .sd2 .mpc .wve .sds .xi : container codecs
@@ -35,10 +38,86 @@ from . import Direction, SampleFormat, Stream
 
 _WAVE_FORMAT_PCM = 1
 _WAVE_FORMAT_IEEE_FLOAT = 3
+_WAVE_FORMAT_ALAW = 6
+_WAVE_FORMAT_MULAW = 7
+_WAVE_FORMAT_IMA_ADPCM = 0x11
 
 _AU_MAGIC = b".snd"
+_AU_ENC_ULAW = 1
+_AU_ENC_PCM8 = 2
 _AU_ENC_PCM16 = 3
+_AU_ENC_PCM24 = 4
+_AU_ENC_PCM32 = 5
 _AU_ENC_FLOAT32 = 6
+_AU_ENC_FLOAT64 = 7
+_AU_ENC_ALAW = 27
+
+# ---- IMA/DVI ADPCM (WAV format tag 0x11) --------------------------------
+# step/index tables per IMA ADPCM spec; decode semantics mirror
+# libsndfile's ima_adpcm.c (the reference's file layer decodes these
+# transparently through sf_readf_float, src/simpleaudio-sndfile.c:46-70)
+_IMA_INDEX_ADJUST = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8] * 2, np.int32)
+_IMA_STEP_SIZE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], np.int32)
+
+
+def _ima_decode(data: bytes, block_align: int, channels: int,
+                samples_per_block: int) -> np.ndarray:
+    """Decode IMA ADPCM blocks -> interleaved int16 frames.
+
+    Block layout (WAV DVI/IMA): per channel a 4-byte header (int16 LE
+    predictor = the block's first output sample, u8 step index, u8
+    reserved), then the channels' nibble data interleaved in 4-byte
+    groups.  Vectorized across blocks: the nibble chain is sequential
+    within a block but independent between blocks."""
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        return np.zeros(0, np.int16)
+    raw = np.frombuffer(data[:nblocks * block_align], np.uint8)
+    raw = raw.reshape(nblocks, block_align)
+    hdr = raw[:, : 4 * channels].reshape(nblocks, channels, 4)
+    pred = (hdr[:, :, 0].astype(np.int32)
+            | (hdr[:, :, 1].astype(np.int8).astype(np.int32) << 8))
+    idx = np.clip(hdr[:, :, 2].astype(np.int32), 0, 88)
+
+    body = raw[:, 4 * channels:]                     # [nblocks, nbytes]
+    # nibble k of channel c lives in byte group (k//8), word c, byte
+    # (k%8)//2; low nibble first
+    ngroups = body.shape[1] // (4 * channels)
+    grp = body[:, : ngroups * 4 * channels].reshape(
+        nblocks, ngroups, channels, 4)
+    lo = grp & 0x0F
+    hi = grp >> 4
+    nib = np.empty((nblocks, ngroups, channels, 8), np.uint8)
+    nib[..., 0::2] = lo
+    nib[..., 1::2] = hi
+    # [nblocks, channels, nsamp_chain] in output order
+    nib = nib.transpose(0, 2, 1, 3).reshape(nblocks, channels, -1)
+
+    nchain = min(nib.shape[2], max(samples_per_block - 1, 0))
+    out = np.empty((nblocks, channels, 1 + nchain), np.int16)
+    out[:, :, 0] = pred.astype(np.int16)
+    cur = pred
+    for k in range(nchain):
+        bc = nib[:, :, k].astype(np.int32)
+        step = _IMA_STEP_SIZE[idx]
+        diff = step >> 3
+        diff += np.where(bc & 1, step >> 2, 0)
+        diff += np.where(bc & 2, step >> 1, 0)
+        diff += np.where(bc & 4, step, 0)
+        cur = cur + np.where(bc & 8, -diff, diff)
+        cur = np.clip(cur, -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX_ADJUST[bc], 0, 88)
+        out[:, :, k + 1] = cur.astype(np.int16)
+    # interleave channels per frame: [nblocks, nsamp, ch] -> flat
+    return out.transpose(0, 2, 1).reshape(-1)
 
 
 def _container_from_path(path: str) -> str:
@@ -210,6 +289,9 @@ class FileStream(Stream):
         if self._fh.read(4) != b"WAVE":
             raise RuntimeError(f"{self.path}: not a WAVE file")
         fmt_tag = None
+        block_align = 0
+        fmt_extra = b""
+        fact_frames = None
         while True:
             hdr = self._fh.read(8)
             if len(hdr) < 8:
@@ -220,13 +302,17 @@ class FileStream(Stream):
                     raise RuntimeError(
                         f"{self.path}: truncated fmt chunk ({csize} B)")
                 body = self._fh.read(csize + (csize & 1))  # RIFF pad
-                (fmt_tag, nch, rate, _br, _ba, bits) = struct.unpack(
+                (fmt_tag, nch, rate, _br, block_align, bits) = struct.unpack(
                     "<HHIIHH", body[:16])
+                fmt_extra = body[16:csize]
                 if fmt_tag == 0xFFFE and csize >= 40:  # WAVE_FORMAT_EXTENSIBLE
                     fmt_tag = struct.unpack("<H", body[24:26])[0]
                 self.channels = nch
                 self.rate = rate
                 self._src_bits = bits
+            elif cid == b"fact" and csize >= 4:
+                fact_frames = struct.unpack(
+                    "<I", self._fh.read(csize + (csize & 1))[:4])[0]
             elif cid == b"data":
                 self._data_remaining = csize
                 break
@@ -243,6 +329,30 @@ class FileStream(Stream):
         elif fmt_tag == _WAVE_FORMAT_IEEE_FLOAT:
             self._src_dtype = np.dtype(np.float32).newbyteorder("<") \
                 if self._src_bits == 32 else np.dtype(np.float64).newbyteorder("<")
+        elif fmt_tag == _WAVE_FORMAT_ALAW:
+            self._src_dtype = "alaw"
+            self._src_bits = 16
+        elif fmt_tag == _WAVE_FORMAT_MULAW:
+            self._src_dtype = "ulaw"
+            self._src_bits = 16
+        elif fmt_tag == _WAVE_FORMAT_IMA_ADPCM:
+            # wSamplesPerBlock lives in the fmt extension (cbSize >= 2)
+            if len(fmt_extra) >= 4:
+                spb = struct.unpack("<H", fmt_extra[2:4])[0]
+            else:
+                spb = ((block_align - 4 * self.channels) * 2
+                       // max(self.channels, 1) + 1)
+            data = self._fh.read(self._data_remaining)
+            vals = _ima_decode(data, block_align, self.channels, spb)
+            if fact_frames is not None:
+                vals = vals[: fact_frames * self.channels]
+            self._src_bits = 16
+            self._src_fmt_tag = fmt_tag
+            self._mem_buf = self._convert(vals, src_bits=16)
+            self._mem_pos = 0
+            self._src_dtype = "mem"
+            self._data_remaining = self._mem_buf.nbytes
+            return
         else:
             raise RuntimeError(f"{self.path}: unsupported WAV format {fmt_tag}")
         self._src_fmt_tag = fmt_tag
@@ -262,6 +372,30 @@ class FileStream(Stream):
             self._src_dtype = np.dtype(np.float32).newbyteorder(">")
             self._src_fmt_tag = _WAVE_FORMAT_IEEE_FLOAT
             self._src_bits = 32
+        elif enc == _AU_ENC_FLOAT64:
+            self._src_dtype = np.dtype(np.float64).newbyteorder(">")
+            self._src_fmt_tag = _WAVE_FORMAT_IEEE_FLOAT
+            self._src_bits = 64
+        elif enc == _AU_ENC_PCM8:          # signed 8-bit linear
+            self._src_dtype = np.dtype(np.int8)
+            self._src_fmt_tag = _WAVE_FORMAT_PCM
+            self._src_bits = 8
+        elif enc == _AU_ENC_PCM24:
+            self._src_dtype = "i24be"
+            self._src_fmt_tag = _WAVE_FORMAT_PCM
+            self._src_bits = 24
+        elif enc == _AU_ENC_PCM32:
+            self._src_dtype = np.dtype(np.int32).newbyteorder(">")
+            self._src_fmt_tag = _WAVE_FORMAT_PCM
+            self._src_bits = 32
+        elif enc == _AU_ENC_ULAW:
+            self._src_dtype = "ulaw"
+            self._src_fmt_tag = _WAVE_FORMAT_MULAW
+            self._src_bits = 16
+        elif enc == _AU_ENC_ALAW:
+            self._src_dtype = "alaw"
+            self._src_fmt_tag = _WAVE_FORMAT_ALAW
+            self._src_bits = 16
         else:
             raise RuntimeError(f"{self.path}: unsupported AU encoding {enc}")
         size = os.fstat(self._fh.fileno()).st_size
@@ -350,8 +484,20 @@ class FileStream(Stream):
             self._flac_pos += n
             self._data_remaining = (self._flac_buf.size - self._flac_pos) * 4
             return self._convert(vals)
-        if self._src_dtype == "i24":
-            return self._read_pcm24(nframes)
+        if self._src_dtype in ("i24", "i24be"):
+            return self._read_pcm24(nframes, self._src_dtype == "i24be")
+        if self._src_dtype in ("alaw", "ulaw"):
+            # G.711 companded bytes -> int16 via the libsndfile tables
+            # (the reference reads these transparently through
+            # sf_readf_float, src/simpleaudio-sndfile.c:46-70)
+            from .containers import _ALAW_DEC, _ULAW_DEC
+
+            want = min(nframes * self.channels, self._data_remaining)
+            raw = self._fh.read(want)
+            self._data_remaining -= len(raw)
+            table = _ALAW_DEC if self._src_dtype == "alaw" else _ULAW_DEC
+            vals = table[np.frombuffer(raw, np.uint8)]
+            return self._convert(vals, src_bits=16)
         dt = np.dtype(self._src_dtype)
         want = nframes * self.channels * dt.itemsize
         want = min(want, self._data_remaining)
@@ -361,12 +507,14 @@ class FileStream(Stream):
         vals = np.frombuffer(raw[: n * dt.itemsize], dtype=dt)
         return self._convert(vals)
 
-    def _read_pcm24(self, nframes: int) -> np.ndarray:
+    def _read_pcm24(self, nframes: int, big_endian: bool = False) -> np.ndarray:
         want = min(nframes * self.channels * 3, self._data_remaining)
         raw = self._fh.read(want)
         self._data_remaining -= len(raw)
         n = len(raw) // 3
         b = np.frombuffer(raw[: n * 3], dtype=np.uint8).reshape(n, 3)
+        if big_endian:
+            b = b[:, ::-1]
         vals = (
             b[:, 0].astype(np.int32)
             | (b[:, 1].astype(np.int32) << 8)
@@ -395,6 +543,8 @@ class FileStream(Stream):
                 return ((vals.astype(np.int16) - 128) << 8).astype(np.int16)
             if bits == 16:
                 return np.asarray(vals, np.int16)
+            if bits < 16:                  # signed PCM8 (AU/AIFF)
+                return (vals.astype(np.int16) << (16 - bits)).astype(np.int16)
             return (vals >> (bits - 16)).astype(np.int16)
 
     # ================= close =================

@@ -162,6 +162,31 @@ def read(path: str):
         lib.sf_close(h)
 
 
+def read_short(path: str):
+    """-> (int16 mono-interleaved samples, rate, channels) via
+    sf_readf_short.  Raises on open failure."""
+    import numpy as np
+
+    lib = load()
+    info = _SF_INFO()
+    if path.endswith(".raw"):
+        info.samplerate, info.channels = 48000, 1
+        info.format = _SF_FORMAT_RAW | _SF_FORMAT_PCM_16
+    h = lib.sf_open(path.encode(), _SFM_READ, ctypes.byref(info))
+    if not h:
+        raise RuntimeError(
+            f"libsndfile: {lib.sf_strerror(None).decode()}: {path}")
+    try:
+        n = info.frames * info.channels
+        buf = np.empty(n, np.int16)
+        got = lib.sf_readf_short(
+            h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
+            info.frames)
+        return buf[: got * info.channels], info.samplerate, info.channels
+    finally:
+        lib.sf_close(h)
+
+
 def write(path: str, samples, rate: int, fmt: int, channels: int = 1):
     """Write int16 samples with libsndfile.  Raises on failure."""
     import numpy as np

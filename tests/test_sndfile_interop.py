@@ -141,6 +141,65 @@ def test_libsndfile_wav_demodulates(tmp_path):
     assert m.demodulate(back) == b"interop rx path"
 
 
+# non-PCM read subformats the reference accepts transparently through
+# sf_readf_float (src/simpleaudio-sndfile.c:46-70): (extension, major,
+# subtype) — our reader must produce libsndfile's exact float output
+_SUB_ULAW, _SUB_ALAW, _SUB_PCM_S8, _SUB_PCM_U8 = 0x10, 0x11, 0x01, 0x05
+_SUB_PCM_24, _SUB_PCM_32, _SUB_DOUBLE, _SUB_IMA = 0x03, 0x04, 0x07, 0x12
+SUBFORMAT_CASES = [
+    ("wav", _SUB_ULAW), ("wav", _SUB_ALAW), ("wav", _SUB_PCM_U8),
+    ("wav", _SUB_IMA),
+    ("au", _SUB_ULAW), ("au", _SUB_ALAW), ("au", _SUB_PCM_S8),
+    ("au", _SUB_PCM_24), ("au", _SUB_PCM_32), ("au", _SUB_DOUBLE),
+    ("aiff", _SUB_ULAW), ("aiff", _SUB_ALAW), ("aiff", _SUB_PCM_S8),
+]
+
+
+@pytest.mark.parametrize("ext,sub", SUBFORMAT_CASES)
+def test_read_subformats_match_libsndfile(tmp_path, ext, sub):
+    """u-law / A-law / PCM8 / ADPCM files written by libsndfile decode
+    in our reader to the exact floats sf_readf_float returns."""
+    path = _ext_path(tmp_path, ext, f"sub{sub:02x}")
+    S.write(path, S16, 48000, S.MAJOR_BY_EXT[ext] | sub)
+    want, rate, ch = S.read(path)
+    got, rate2, ch2 = read_all(path, SampleFormat.FLOAT)
+    assert (rate2, ch2) == (rate, ch) == (48000, 1)
+    assert len(got) == len(want), (len(got), len(want))
+    assert np.array_equal(got, want), (ext, hex(sub))
+
+
+# DOUBLE excluded: sf_readf_short on float-typed data returns the raw
+# values unscaled (a libsndfile quirk); our S16 view keeps the sane
+# clip*32767 convention, and the reference only ever reads floats for
+# RX anyway (src/minimodem.c:787-788)
+@pytest.mark.parametrize("ext,sub",
+                         [c for c in SUBFORMAT_CASES if c[1] != _SUB_DOUBLE])
+def test_read_subformats_s16_path(tmp_path, ext, sub):
+    """The S16 read path of the same files matches sf_readf_short."""
+    path = _ext_path(tmp_path, ext, f"s16sub{sub:02x}")
+    S.write(path, S16, 48000, S.MAJOR_BY_EXT[ext] | sub)
+    want, _, _ = S.read_short(path)
+    got, _, _ = read_all(path, SampleFormat.S16)
+    assert len(got) == len(want)
+    assert np.array_equal(got, want), (ext, hex(sub))
+
+
+def test_ulaw_wav_demodulates(tmp_path):
+    """The VERDICT's done-bar: a libsndfile-written u-law WAV decodes
+    byte-exactly through our RX (G.711's ~38 dB SNR is far above the
+    demodulator's noise floor — tests/40-noise decodes at 0 dB)."""
+    from minimodem_tpu.models.modem import FskModem
+
+    m = FskModem("1200")
+    wav = m.modulate(b"u-law subformat rx")
+    s16 = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
+    path = str(tmp_path / "ref-ulaw.wav")
+    S.write(path, s16, 48000, S.MAJOR_BY_EXT["wav"] | _SUB_ULAW)
+    back, rate, _ = read_all(path, SampleFormat.FLOAT)
+    assert rate == 48000
+    assert m.demodulate(back) == b"u-law subformat rx"
+
+
 def test_ogg_cross_correlation(tmp_path):
     path = str(tmp_path / "x.ogg")
     t = np.arange(48000, dtype=np.float32) / 48000.0
