@@ -2,6 +2,8 @@
 1200/ascii, RX in callerid mode, compare rendered output
 (reference: tests/70-callerid-mdmf.test, 71-callerid-sdmf.test)."""
 
+import pytest
+
 from .helpers import run_cli
 
 MDMF_BODY = (
@@ -31,6 +33,8 @@ def _cid_roundtrip(tmp_wav, payload: bytes, golden: bytes):
     assert out == golden, (out, err)
 
 
+@pytest.mark.smoke
+@pytest.mark.smoke
 def test_callerid_mdmf(tmp_wav):
     _cid_roundtrip(tmp_wav, MDMF_BYTES, MDMF_GOLDEN)
 

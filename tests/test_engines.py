@@ -25,7 +25,7 @@ def _decode(m, samples, engine, codec_name="ascii8", **optkw):
 
 
 @pytest.mark.parametrize("mode,codec", [
-    ("1200", "ascii8"),
+    pytest.param("1200", "ascii8", marks=pytest.mark.smoke),
     ("300", "ascii8"),
     ("same", "ascii8"),
     ("rtty", "baudot"),

@@ -276,3 +276,9 @@ def test_manpage_current():
     for needle in (".SH SYNOPSIS", ".SH NAME", "--auto-carrier",
                    ".SH STATS LINES"):
         assert needle in roff, needle
+    # HTML rendering ships alongside (reference: src/Makefile.am:60-62)
+    with open(os.path.join(root, "docs", "minimodem-tpu.html")) as f:
+        html = f.read()
+    for needle in ("<h1>minimodem-tpu(1)", "<h2>", "--auto-carrier",
+                   "<table>"):
+        assert needle in html, needle

@@ -11,6 +11,7 @@ from .conftest import ASCII_FIXTURE, BAUDOT_FIXTURE, MULTIBYTE_FIXTURE, read_fix
 from .helpers import self_test
 
 
+@pytest.mark.smoke
 def test_1200(tmp_wav):
     # reference: tests/01-self-test-1200.test
     self_test(read_fixture(ASCII_FIXTURE), tmp_wav(), ["1200"])
@@ -21,6 +22,7 @@ def test_300(tmp_wav):
     self_test(read_fixture(ASCII_FIXTURE), tmp_wav(), ["300"])
 
 
+@pytest.mark.smoke
 def test_rtty(tmp_wav):
     # reference: tests/03-self-test-rtty.test
     self_test(read_fixture(BAUDOT_FIXTURE), tmp_wav(), ["rtty"])
@@ -62,16 +64,19 @@ def test_multibyte(tmp_wav):
     self_test(read_fixture(MULTIBYTE_FIXTURE), tmp_wav(), ["1200"])
 
 
+@pytest.mark.smoke
 def test_same(tmp_wav):
     # reference: tests/80-SAME.test
     self_test(read_fixture(ASCII_FIXTURE), tmp_wav(), ["same"])
 
 
+@pytest.mark.smoke
 def test_ascii7(tmp_wav):
     # reference: tests/81-ascii7.test
     self_test(read_fixture(ASCII_FIXTURE), tmp_wav(), ["-7", "1200"])
 
 
+@pytest.mark.smoke
 def test_tdd(tmp_wav):
     # reference: tests/81-tdd.test
     self_test(read_fixture(BAUDOT_FIXTURE), tmp_wav(), ["tdd"])

@@ -15,6 +15,8 @@ def _write(path, fmt, data, rate=48000):
     st.close()
 
 
+@pytest.mark.smoke
+@pytest.mark.smoke
 @pytest.mark.parametrize("ext", ["wav", "au", "raw"])
 @pytest.mark.parametrize("fmt", [SampleFormat.S16, SampleFormat.FLOAT])
 def test_container_roundtrip(tmp_path, ext, fmt):
