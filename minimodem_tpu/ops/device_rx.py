@@ -942,6 +942,19 @@ def _collect_results(out, b: int, compact: bool):
     return [unpack_events(ev[:, i, :], int(n[i])) for i in range(b)]
 
 
+def _sched_pad(n_bits: int) -> int:
+    """Bit-schedule pad bucket: powers of two from 512 up to 4096 (so a
+    short burst — e.g. one ~300-bit Caller-ID message — doesn't score
+    8x its audio), then multiples of 4096 (512 packed bytes/stream over
+    the host link)."""
+    v = 512
+    while v < n_bits and v < 4096:
+        v *= 2
+    if v < n_bits:
+        v = ((n_bits + 4095) // 4096) * 4096
+    return v
+
+
 def _round_up_pow2(n: int, floor: int = 1 << 14) -> int:
     """Bucket sizes to limit recompiles without inflating memory: powers of
     two up to 256K, then multiples of 256K."""
@@ -981,15 +994,36 @@ class DeviceLoopback:
     def _fn_for(self, b_pad: int, batch: int, frames_mode: bool = False,
                 lead_trail: tuple = (2, 2), chain: int = 1):
         import jax
-        import jax.numpy as jnp
-
-        from .pallas_rx import build_mega_rx, mega_default_on, mega_supported
-        from .tx_device import device_synthesize, device_synthesize_frames
 
         cache_key = (b_pad, batch, frames_mode, lead_trail, chain)
         fn = self._fns.get(cache_key)
         if fn is not None:
             return fn
+        run, compact, use_mega = self.build_loop(
+            b_pad, batch, frames_mode, lead_trail, chain)
+        if use_mega:
+            # f64 synth + Pallas kernel in one program: trace under the
+            # ambient x64 config, lower under x64-off (utils/aot.py)
+            from ..utils.aot import jit_mosaic
+
+            fn = jit_mosaic(run)
+        else:
+            fn = jax.jit(run, static_argnames=())
+        self._fns[cache_key] = (fn, compact, use_mega)
+        return fn, compact, use_mega
+
+    def build_loop(self, b_pad: int, batch: int, frames_mode: bool = False,
+                   lead_trail: tuple = (2, 2), chain: int = 1):
+        """Build the (unjitted) synth+decode device program — (run,
+        compact, use_mega).  _fn_for jits it directly; the sharded
+        service layer (parallel/service.py ShardedLoopback) wraps it in
+        shard_map so every mesh shard runs this exact per-chip program."""
+        import jax
+        import jax.numpy as jnp
+
+        from .pallas_rx import build_mega_rx, mega_default_on, mega_supported
+        from .tx_device import device_synthesize, device_synthesize_frames
+
         cfg = self.cfg
         if frames_mode:
             n_samples = (lead_trail[0] * self.bit_ns
@@ -1070,16 +1104,7 @@ class DeviceLoopback:
                 return outs
 
             run = loop_k
-        if use_mega:
-            # f64 synth + Pallas kernel in one program: trace under the
-            # ambient x64 config, lower under x64-off (utils/aot.py)
-            from ..utils.aot import jit_mosaic
-
-            fn = jit_mosaic(run)
-        else:
-            fn = jax.jit(run, static_argnames=())
-        self._fns[cache_key] = (fn, compact, use_mega)
-        return fn, compact, use_mega
+        return run, compact, use_mega
 
     def dispatch_events_batch(self, sched_list, conf_threshold: float = 1.5,
                               conf_search_limit: float = 2.3):
@@ -1096,7 +1121,7 @@ class DeviceLoopback:
             "flat bit schedules need uniform bit segments; use "
             "run_events_frames_batch for fractional stop bits")
         b_real = [len(s) for s in sched_list]
-        b_pad = ((max(b_real) + 4095) // 4096) * 4096
+        b_pad = _sched_pad(max(b_real))
         bits = np.zeros((len(sched_list), b_pad), np.uint8)
         for i, s in enumerate(sched_list):
             bits[i, :len(s)] = s
@@ -1164,7 +1189,7 @@ class DeviceLoopback:
             "chained batches must be equal width"
         b_real = [[len(s) for s in scheds] for scheds in sched_lists]
         mx = max(max(r) for r in b_real)
-        b_pad = ((mx + 4095) // 4096) * 4096
+        b_pad = _sched_pad(mx)
         bits = np.zeros((K, batch, b_pad), np.uint8)
         for k, scheds in enumerate(sched_lists):
             for i, s in enumerate(scheds):

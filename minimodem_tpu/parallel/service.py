@@ -43,7 +43,8 @@ class ShardedReceiver:
     """
 
     def __init__(self, cfg: ModemConfig, mesh=None,
-                 precision: str = "auto", rx_one: bool = False):
+                 precision: str = "auto", rx_one: bool = False,
+                 compact: str = "auto"):
         import jax
 
         from ..ops.device_rx import device_rx_key
@@ -56,6 +57,14 @@ class ShardedReceiver:
         self.precision = precision
         self.rx_one = rx_one
         self.key = device_rx_key(cfg, precision)
+        # the production receiver path: byte-sized words post-process to
+        # a ~1-byte-per-frame stream ON DEVICE (like DeviceReceiver),
+        # so the fleet's result collection moves ~1 B/frame instead of
+        # the ~32 B/frame wide event log
+        if compact == "auto":
+            self.compact = cfg.n_data_bits <= 8
+        else:
+            self.compact = bool(compact)
         self._fns = {}
 
     def _fn_for(self, t_total: int, in_dtype: str):
@@ -70,9 +79,11 @@ class ShardedReceiver:
         if fn is not None:
             return fn
         sp = self.sp
-        # wide event path: its [8, B, E] layout shards cleanly on axis 1
+        compact = self.compact
+        # the [8, B, E] event layout (and compact mode's flat result
+        # vector, blocked per dp shard) shard cleanly on the stream axis
         rx_fn, _, _ = _build_device_rx(
-            self.key, t_total, self.rx_one, in_dtype, True, False,
+            self.key, t_total, self.rx_one, in_dtype, True, compact,
             packed_input=(sp > 1))
         if sp > 1:
             # sp-sharded scoring: each (dp, sp) shard scores t_total/sp
@@ -112,10 +123,20 @@ class ShardedReceiver:
                 packed_local = jax.vmap(packer)(x_ext)  # [Bl, 8, t_local]
                 packed = jax.lax.all_gather(
                     packed_local, "sp", axis=2, tiled=True)
-                ev, n, _carry = rx_fn(packed, totals, thr[0], thr[1],
-                                      carry)
+                out = rx_fn(packed, totals, thr[0], thr[1], carry)
             else:
-                ev, n, _carry = rx_fn(x, totals, thr[0], thr[1], carry)
+                out = rx_fn(x, totals, thr[0], thr[1], carry)
+            if compact:
+                # (flat, ev_full, carry): flat is the packed one-transfer
+                # result vector (pack_compact_results layout, blocked per
+                # shard); the full event log rides along for stats and
+                # the rare >EV_CAP overflow fetch
+                flat, ev = out[0], out[1]
+                Bl = totals.shape[0]
+                n = flat[:Bl].astype(jnp.int32)
+            else:
+                flat = None
+                ev, n = out[0], out[1]
             # fleet stats, reduced over the mesh (EV codes:
             # ops/device_rx.py:49-52; NOCARRIER pay = [nframes,
             # conf_total, ampl_total, ...] — device_rx.py:654-663)
@@ -132,13 +153,17 @@ class ShardedReceiver:
                 jnp.sum(conf_tot),                          # conf sum
             ])
             stats = jax.lax.psum(stats, "dp")
+            if compact:
+                return flat, ev, stats
             return ev, n, stats
 
         x_spec = P("dp", "sp") if sp > 1 else P("dp")
         in_specs = (x_spec, P("dp"), P(), P("dp"))
-        # carry dict: every leaf is per-stream [B]; ev/n/stats are
-        # sp-replicated (every sp rank ran the same state machine)
-        out_specs = (P(None, "dp"), P("dp"), P())
+        # carry dict: every leaf is per-stream [B]; results/stats are
+        # sp-replicated (every sp rank ran the same state machine).
+        # compact: flat result vectors concatenate per dp shard.
+        out_specs = ((P("dp"), P(None, "dp"), P()) if compact
+                     else (P(None, "dp"), P("dp"), P()))
         if hasattr(jax, "shard_map"):  # jax >= 0.8
             sfn = jax.shard_map(
                 local_fn, mesh=self.mesh,
@@ -201,11 +226,17 @@ class ShardedReceiver:
         x_shard = NamedSharding(
             self.mesh, P("dp", "sp") if self.sp > 1 else P("dp"))
         xs = jax.device_put(x, x_shard)
-        ev, n, stats = fn(
+        r0, r1, stats = fn(
             xs, jax.device_put(tot, shard),
             np.asarray([conf_threshold, conf_search_limit], np.float32),
             jax.device_put(zero_carry(b_pad), shard))
-        events = _collect_results((ev, n), b_pad, False)[:b]
+        if self.compact:
+            # flat result vectors are blocked per dp shard (streams
+            # d*Bl..(d+1)*Bl-1 live in block d); one bulk transfer,
+            # then the per-shard unpack of _collect_compact
+            events = self.collect_compact_blocks(r0, r1, b_pad, b)
+        else:
+            events = _collect_results((r0, r1), b_pad, False)[:b]
         s = np.asarray(stats)
         nframes = float(s[1])
         return events, {
@@ -214,6 +245,21 @@ class ShardedReceiver:
             "frames_total": int(nframes),
             "mean_confidence": float(s[2] / nframes) if nframes else 0.0,
         }
+
+    def collect_compact_blocks(self, flat_dev, ev_dev, b_pad: int, b: int):
+        """Unpack per-dp-shard compact result blocks (see _fn_for): one
+        bulk transfer of the flat vectors, lazy event-log slices for the
+        rare >EV_CAP overflow."""
+        from ..ops.device_rx import _collect_compact
+
+        bl = b_pad // self.dp
+        flat_np = np.ascontiguousarray(np.asarray(flat_dev)).reshape(
+            self.dp, -1)
+        events = []
+        for d in range(self.dp):
+            events.extend(_collect_compact(
+                (flat_np[d], ev_dev[:, d * bl:(d + 1) * bl, :]), bl))
+        return events[:b]
 
     def decode_batch(self, streams, conf_threshold: float = 1.5,
                      conf_search_limit: float = 2.3,
@@ -252,3 +298,114 @@ class ShardedReceiver:
             rxer.render_events(*ev)
             outs.append(sink.getvalue())
         return outs, stats
+
+
+class ShardedLoopback:
+    """dp-sharded DeviceLoopback: B bit schedules synthesize AND decode
+    across an N-chip mesh, B/N streams per chip, with each shard running
+    the EXACT single-chip production program (DeviceLoopback.build_loop
+    — megakernel where eligible, compact byte streams) so fleet decode
+    runs at single-chip speed per chip.  Results collect via the same
+    one-transfer compact blocks as ShardedReceiver.
+
+    This is the serving-fleet configuration of the reference's RX loop
+    (src/minimodem.c:1137-1463) with on-device TX (the bench shape);
+    parity is pinned against DeviceLoopback on the virtual mesh
+    (tests/test_service.py)."""
+
+    def __init__(self, cfg: ModemConfig, mesh=None,
+                 precision: str = "auto", amplitude: float = 1.0,
+                 rx_one: bool = False):
+        import jax
+
+        from ..ops.device_rx import DeviceLoopback
+
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(
+            dp=len(jax.devices()), sp=1)
+        self.dp = self.mesh.shape["dp"]
+        if self.mesh.shape.get("sp", 1) != 1:
+            raise ValueError("ShardedLoopback shards streams only (dp)")
+        self.lb = DeviceLoopback(cfg, precision, amplitude, rx_one)
+        self._fns = {}
+
+    def _fn_for(self, b_pad: int, batch_local: int):
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        cache_key = (b_pad, batch_local)
+        hit = self._fns.get(cache_key)
+        if hit is not None:
+            return hit
+        run, compact, use_mega = self.lb.build_loop(b_pad, batch_local)
+
+        in_specs = (P("dp"), P("dp"), P(), P(), P("dp"))
+        # compact: (flat [L], ev [8, Bl, E]); wide: (ev, n)
+        out_specs = ((P("dp"), P(None, "dp")) if compact
+                     else (P(None, "dp"), P("dp")))
+        if hasattr(jax, "shard_map"):  # jax >= 0.8
+            sfn = jax.shard_map(run, mesh=self.mesh, in_specs=in_specs,
+                                out_specs=out_specs, check_vma=False)
+        else:
+            from jax.experimental.shard_map import shard_map
+
+            sfn = shard_map(run, mesh=self.mesh, in_specs=in_specs,
+                            out_specs=out_specs, check_rep=False)
+        if use_mega:
+            from ..utils.aot import jit_mosaic
+
+            fn = jit_mosaic(sfn)
+        else:
+            fn = jax.jit(sfn)
+        self._fns[cache_key] = (fn, compact, use_mega)
+        return fn, compact, use_mega
+
+    def run_events_batch(self, sched_list, conf_threshold: float = 1.5,
+                         conf_search_limit: float = 2.3):
+        """sched_list: list of uint8 bit schedules (one per stream); the
+        list is padded up to a multiple of dp with empty streams, which
+        decode silence and are dropped.  Returns per-stream event tuples
+        exactly like DeviceLoopback.run_events_batch."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..ops.device_rx import zero_carry
+
+        assert self.lb.uniform, (
+            "flat bit schedules need uniform bit segments")
+        from ..ops.device_rx import _sched_pad
+
+        b = len(sched_list)
+        b_pad_streams = -(-b // self.dp) * self.dp
+        b_real = [len(s) for s in sched_list] + [0] * (b_pad_streams - b)
+        b_pad = _sched_pad(max(b_real))
+        bits = np.zeros((b_pad_streams, b_pad), np.uint8)
+        for i, s in enumerate(sched_list):
+            bits[i, :len(s)] = s
+        bits_pk = np.packbits(bits, axis=1, bitorder="little")
+        totals = np.asarray(
+            [n * self.lb.bit_ns for n in b_real], np.int32)
+        batch_local = b_pad_streams // self.dp
+        fn, compact, use_mega = self._fn_for(b_pad, batch_local)
+
+        shard = NamedSharding(self.mesh, P("dp"))
+        out = fn(
+            jax.device_put(jnp.asarray(bits_pk), shard),
+            jax.device_put(jnp.asarray(totals), shard),
+            np.float32(conf_threshold), np.float32(conf_search_limit),
+            jax.device_put(zero_carry(b_pad_streams), shard))
+        if compact:
+            bl = batch_local
+            from ..ops.device_rx import _collect_compact
+
+            flat_np = np.ascontiguousarray(np.asarray(out[0])).reshape(
+                self.dp, -1)
+            events = []
+            for d in range(self.dp):
+                events.extend(_collect_compact(
+                    (flat_np[d], out[1][:, d * bl:(d + 1) * bl, :]), bl))
+            return events[:b]
+        from ..ops.device_rx import _collect_results
+
+        return _collect_results(out, b_pad_streams, False)[:b]

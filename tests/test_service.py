@@ -39,6 +39,9 @@ def test_decode_batch_parity(mesh8):
 
 
 def test_events_match_single_chip(mesh8):
+    """The sharded service runs the PRODUCTION (compact) receiver: its
+    per-stream results — event log AND on-device-decoded byte stream —
+    must equal the single-chip compact DeviceReceiver's exactly."""
     from minimodem_tpu.ops.device_rx import DeviceReceiver
 
     texts = [b"parity check", b"abcdefgh" * 4]
@@ -50,15 +53,53 @@ def test_events_match_single_chip(mesh8):
     totals = [len(s) for s in streams]
 
     svc = ShardedReceiver(m.cfg, mesh8)
+    assert svc.compact
     ev_sharded, _ = svc.run_events_batch(x, totals, 1.5, 2.3)
 
-    single = DeviceReceiver(m.cfg, compact=False)
+    single = DeviceReceiver(m.cfg)          # compact auto, like the svc
+    assert single.compact
     ev_single, _ = single.run_events_batch(x, totals, 1.5, 2.3)
 
     assert len(ev_sharded) == len(ev_single)
-    for (t_s, p_s), (t_1, p_1) in zip(ev_sharded, ev_single):
-        np.testing.assert_array_equal(t_s, t_1)
-        np.testing.assert_array_equal(p_s, p_1)
+    for tup_s, tup_1 in zip(ev_sharded, ev_single):
+        assert len(tup_s) == len(tup_1) == 3    # compact: +byte stream
+        for a, b in zip(tup_s, tup_1):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_compact_vs_wide_service_equality(mesh8):
+    """compact (production) and wide event modes of the sharded service
+    must agree: same carrier-transition events, same decoded bytes, same
+    fleet stats."""
+    texts = [b"compact-vs-wide stream A", b"B" * 30, b"third ~!@#"]
+    m, streams = _tx_batch(texts)
+    svc_c = ShardedReceiver(m.cfg, mesh8)
+    svc_w = ShardedReceiver(m.cfg, mesh8, compact=False)
+    assert svc_c.compact and not svc_w.compact
+
+    outs_c, stats_c = svc_c.decode_batch(streams)
+    outs_w, stats_w = svc_w.decode_batch(streams)
+    assert outs_c == outs_w == texts
+    # events_total counts raw log records: wide logs one per frame,
+    # compact only carrier transitions — the rest must agree exactly
+    for k in ("devices", "frames_total", "mean_confidence"):
+        assert stats_c[k] == stats_w[k], k
+    assert stats_c["events_total"] <= stats_w["events_total"]
+
+    L = max(len(s) for s in streams)
+    x = np.zeros((len(streams), L), np.float32)
+    for i, s in enumerate(streams):
+        x[i, :len(s)] = s
+    totals = [len(s) for s in streams]
+    ev_c, _ = svc_c.run_events_batch(x, totals, 1.5, 2.3)
+    ev_w, _ = svc_w.run_events_batch(x, totals, 1.5, 2.3)
+    from minimodem_tpu.ops.device_rx import EV_FRAME
+
+    for tup_c, tup_w in zip(ev_c, ev_w):
+        # compact logs only carrier transitions (frames live in the byte
+        # stream): wide's control events must match type-for-type
+        keep = tup_w[0] != EV_FRAME
+        np.testing.assert_array_equal(tup_c[0], tup_w[0][keep])
 
 
 @pytest.mark.parametrize("dp,sp", [(2, 4), (4, 2), (1, 8)])
@@ -86,11 +127,39 @@ def test_sp_sharded_full_decode(dp, sp):
         x[i, :len(s)] = s
     totals = [len(s) for s in streams]
     ev_sharded, _ = svc.run_events_batch(x, totals, 1.5, 2.3)
-    single = DeviceReceiver(m.cfg, compact=False)
+    single = DeviceReceiver(m.cfg)          # compact auto, like the svc
     ev_single, _ = single.run_events_batch(x, totals, 1.5, 2.3)
-    for (t_s, p_s), (t_1, p_1) in zip(ev_sharded, ev_single):
-        np.testing.assert_array_equal(t_s, t_1)
-        np.testing.assert_array_equal(p_s, p_1)
+    for tup_s, tup_1 in zip(ev_sharded, ev_single):
+        assert len(tup_s) == len(tup_1) == 3
+        for a, b in zip(tup_s, tup_1):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_loopback_matches_device_loopback(mesh8):
+    """ShardedLoopback runs DeviceLoopback's exact per-chip program
+    under shard_map: every result part (events, payloads, byte streams)
+    must match the single-chip loopback stream-for-stream, including
+    dp-padding with empty streams (5 streams on an 8-wide mesh)."""
+    from minimodem_tpu.codecs import Ascii8Codec
+    from minimodem_tpu.ops.device_rx import DeviceLoopback
+    from minimodem_tpu.ops.tx_device import tx_bit_schedule
+    from minimodem_tpu.parallel.service import ShardedLoopback
+
+    m = FskModem("1200")
+    payloads = [b"fleet stream zero", b"fs1", b"fleet stream two ~!@#",
+                b"D" * 40, b"fleet stream four"]
+    scheds = [tx_bit_schedule(p, m.cfg, Ascii8Codec()) for p in payloads]
+
+    flb = ShardedLoopback(m.cfg, mesh8)
+    ev_fleet = flb.run_events_batch(scheds)
+    lb = DeviceLoopback(m.cfg)
+    ev_single = lb.run_events_batch(scheds)
+
+    assert len(ev_fleet) == len(ev_single) == len(payloads)
+    for tup_f, tup_1 in zip(ev_fleet, ev_single):
+        assert len(tup_f) == len(tup_1)
+        for a, b in zip(tup_f, tup_1):
+            np.testing.assert_array_equal(a, b)
 
 
 def test_batch_padding_to_dp(mesh8):
