@@ -54,11 +54,14 @@ def main() -> int:
             "decode_exact": r["decode_exact"],
             "audio_seconds": round(r["audio_seconds"], 2),
         }
-    r = callerid_throughput(batch=8)
+    r = callerid_throughput(batch=128, pipeline=4)
     modes["callerid"] = {
         "real_time_factor": round(r["real_time_factor"], 2),
         "decode_exact": r["decode_exact"],
         "audio_seconds": round(r["audio_seconds"], 2),
+        "batch": r["batch"],
+        "batch_latency_ms": round(r["batch_latency_ms"], 1),
+        "single_burst_latency_ms": round(r["single_burst_latency_ms"], 1),
     }
 
     ok = all(r["decode_exact"] for r in (blb, blb2, lb, e2e)) \

@@ -369,12 +369,29 @@ def _expected_rendering(dec_name: str, payload: bytes) -> bytes:
     return payload
 
 
-def callerid_throughput(batch: int = 8, sample_rate: int = 48000,
-                        precision: str = "auto") -> dict:
-    """Caller-ID decode row: one MDMF message per stream (the real
-    usage shape — a short burst per ring), TX'd as plain Bell-202 bytes
-    exactly like the reference's own test fixtures
-    (reference: tests/70-callerid-mdmf.test)."""
+def _cid_message(i: int) -> bytes:
+    """A distinct, constant-length MDMF message (the reference's own
+    test-fixture shape, tests/70-callerid-mdmf.test)."""
+    body = (b"\x01\x08" + b"07040831"
+            + b"\x07\x09" + b"ADA LOVE%c" % (65 + i % 26)
+            + b"\x02\x0a" + b"41555%05d" % (i % 100000))
+    return bytes([0x80, len(body)]) + body + b"\x11"
+
+
+def callerid_throughput(batch: int = 128, sample_rate: int = 48000,
+                        precision: str = "auto",
+                        pipeline: int = 4) -> dict:
+    """Caller-ID decode: the short-burst serving shape — each stream is
+    one ~0.3 s MDMF burst (a ring's worth of Bell-202 bytes, like the
+    reference's fixtures, tests/70-callerid-mdmf.test).
+
+    Short bursts are fixed-cost-bound (one ~30 ms link round trip per
+    program on this harness), so the serving configuration batches many
+    bursts per program on a small t_total bucket (device_rx._sched_pad)
+    and pipelines programs depth-2 with async result prefetch, exactly
+    like the Bell-202 headline loop.  Reports steady-state throughput
+    plus the two latency numbers a caller sees: one synchronous batched
+    call (the fleet's arrival-to-result time) and a single-burst call."""
     import io
 
     from .codecs import Ascii8Codec, get_codec
@@ -384,37 +401,71 @@ def callerid_throughput(batch: int = 8, sample_rate: int = 48000,
     from .ops.tx_device import tx_bit_schedule
     from .rx.engine import Receiver
 
-    body = (b"\x01\x08" + b"07040831"
-            + b"\x07\x09" + b"ADA LOVEL"
-            + b"\x02\x0a" + b"4155550142")
-    msg = bytes([0x80, len(body)]) + body + b"\x11"
-
     m = FskModem("callerid", sample_rate=sample_rate, precision=precision)
-    sched = tx_bit_schedule(msg, m.cfg, Ascii8Codec())
-    scheds = [sched] * batch
-    audio_sec = (sum(len(s) for s in scheds)
+    pipeline = max(1, int(pipeline))
+    sets = []
+    for j in range(pipeline):
+        msgs = [_cid_message(j * batch + i) for i in range(batch)]
+        scheds = [tx_bit_schedule(p, m.cfg, Ascii8Codec()) for p in msgs]
+        sets.append((msgs, scheds))
+    audio_one = (sum(len(s) for s in sets[0][1])
                  * m.cfg.bit_nsamples_tx / sample_rate)
 
-    lb = DeviceLoopback(m.cfg, precision)
-    events = lb.run_events_batch(scheds)
-    ok = True
-    for ev in events:
-        sink = io.BytesIO()
-        rx = Receiver(m.cfg, RxOptions(), get_codec("callerid"),
-                      sink.write, lambda s: None)
-        rx.render_events(*ev)
-        ok = ok and sink.getvalue() == _expected_rendering("callerid", msg)
+    def render_ok(msgs, events) -> bool:
+        ok = True
+        for i, p in enumerate(msgs):
+            sink = io.BytesIO()
+            rx = Receiver(m.cfg, RxOptions(), get_codec("callerid"),
+                          sink.write, lambda s: None)
+            rx.render_events(*events[i])
+            ok = ok and sink.getvalue() == _expected_rendering(
+                "callerid", p)
+        return ok
 
+    lb = DeviceLoopback(m.cfg, precision)
+    events = lb.run_events_batch(sets[0][1])   # compile + correctness
+    ok = render_ok(sets[0][0], events)
+
+    # one synchronous batched call: what a just-arrived burst waits for
     t0 = time.perf_counter()
-    lb.run_events_batch(scheds)
-    dt = time.perf_counter() - t0
+    lb.run_events_batch(sets[0][1])
+    batch_latency = time.perf_counter() - t0
+
+    # single-burst call latency (its own tiny program, compile excluded)
+    lb.run_events_batch(sets[0][1][:1])
+    t0 = time.perf_counter()
+    lb.run_events_batch(sets[0][1][:1])
+    single_latency = time.perf_counter() - t0
+
+    if pipeline == 1:
+        dt, audio_sec = batch_latency, audio_one
+    else:
+        results = []
+        t0 = time.perf_counter()
+        handles = []
+        for j in range(pipeline):
+            handles.append(lb.dispatch_events_batch(sets[j][1]))
+            if j >= 1:
+                lb.prefetch_events_batch(handles[j - 1])
+            if j >= 2:
+                results.append(lb.collect_events_batch(handles[j - 2]))
+        for h in handles[-2:] if pipeline >= 2 else handles[-1:]:
+            results.append(lb.collect_events_batch(h))
+        dt = time.perf_counter() - t0
+        audio_sec = audio_one * pipeline
+        for j, res in enumerate(results):
+            ok = ok and render_ok(sets[j][0], res)
+
     return {
         "mode": "callerid",
         "batch": batch,
+        "pipeline": pipeline,
         "audio_seconds": audio_sec,
         "wall_seconds": dt,
         "real_time_factor": audio_sec / dt,
         "decode_exact": bool(ok),
+        "batch_latency_ms": batch_latency * 1000.0,
+        "single_burst_latency_ms": single_latency * 1000.0,
     }
 
 
