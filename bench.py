@@ -36,10 +36,19 @@ def main() -> int:
                                        batch=batch, pipeline=8)
     best = max(blb["real_time_factor"], blb2["real_time_factor"])
 
-    # link-bound rows: best-of-3 (tunnel speed swings 7-49 MB/s run to
-    # run; one slow sample is link weather, not a decode regression)
+    # link-bound rows: best-of-3 (tunnel speed swings 7-60 MB/s run to
+    # run; one slow sample is link weather, not a decode regression).
+    # e2e PCM16 pipelines upload against decode (PipelinedReceiver
+    # segments); the u-law row measures the 1-byte/sample telephony
+    # ingest with on-device G.711 expansion.  e2e rows use a 2x-length
+    # file: the per-program fixed cost (~30 ms tunnel round trip)
+    # amortizes over stream length, and the artifact records the
+    # audio_seconds measured
     lb = loopback_throughput("1200", audio_seconds=audio_seconds, repeats=3)
-    e2e = decode_throughput("1200", audio_seconds=audio_seconds, repeats=3)
+    e2e = decode_throughput("1200", audio_seconds=2 * audio_seconds,
+                            repeats=3)
+    e2e_u = decode_throughput("1200", audio_seconds=2 * audio_seconds,
+                              repeats=3, encoding="ulaw")
 
     # per-mode matrix: fractional-stop-bit geometries (rtty/tdd ride the
     # frame-schedule device TX), the sync-preamble mode (same), and a
@@ -64,7 +73,7 @@ def main() -> int:
         "single_burst_latency_ms": round(r["single_burst_latency_ms"], 1),
     }
 
-    ok = all(r["decode_exact"] for r in (blb, blb2, lb, e2e)) \
+    ok = all(r["decode_exact"] for r in (blb, blb2, lb, e2e, e2e_u)) \
         and all(m["decode_exact"] for m in modes.values())
     out = {
         "metric": "bell202_48k_decode_realtime_factor",
@@ -75,6 +84,8 @@ def main() -> int:
         "batch": batch,
         "single_stream_realtime_factor": round(lb["real_time_factor"], 2),
         "e2e_realtime_factor": round(e2e["real_time_factor"], 2),
+        "e2e_ulaw_realtime_factor": round(e2e_u["real_time_factor"], 2),
+        "e2e_audio_seconds": round(e2e["audio_seconds"], 2),
         "audio_seconds_total": round(blb["audio_seconds"], 2),
         "single_call_batched_realtime_factor": round(
             blb["real_time_factor"], 2),

@@ -98,15 +98,18 @@ def _bench_payload(cfg, audio_seconds: float) -> bytes:
 def decode_throughput(mode: str = "1200", audio_seconds: float = 60.0,
                       sample_rate: int = 48000, warmup: bool = True,
                       precision: str = "auto", s16: bool = True,
-                      repeats: int = 1) -> dict:
+                      repeats: int = 1, encoding: str = None) -> dict:
     """End-to-end RX decode throughput (host audio -> decoded bytes) as a
     real-time factor (audio-seconds decoded per wall-clock second).
 
     This path uploads the full sample stream over the host link, whose
-    measured speed on this harness swings 7-49 MB/s run to run
+    measured speed on this harness swings 7-60 MB/s run to run
     (CLAUDE.md); repeats>1 re-times the same call and keeps the best
     wall so one slow link sample doesn't masquerade as a decode
-    regression."""
+    regression.  PCM16 is link-bound at ~96 KB of wire per audio-second;
+    encoding="ulaw"/"alaw"/"pcm8" measures the 1-byte-per-sample
+    telephony ingest (raw bytes up, G.711 expansion on device —
+    bit-identical to a host-expanded read)."""
     import numpy as np
 
     from .models.modem import FskModem
@@ -114,22 +117,32 @@ def decode_throughput(mode: str = "1200", audio_seconds: float = 60.0,
     m = FskModem(mode, sample_rate=sample_rate, precision=precision)
     payload = _bench_payload(m.cfg, audio_seconds)
     samples = m.modulate(payload)
-    if s16:
+    if encoding is not None:
+        from .sigio.containers import _alaw_encode, _ulaw_encode
+
+        s16v = np.clip(np.rint(samples * 32768.0), -32768,
+                       32767).astype(np.int16)
+        enc_fn = {"ulaw": _ulaw_encode, "alaw": _alaw_encode,
+                  "pcm8": lambda v: ((v.astype(np.int32) >> 8) + 128)
+                  .astype(np.uint8)}[encoding]
+        samples = enc_fn(s16v)
+    elif s16:
         samples = np.clip(samples * 32768.0, -32768, 32767).astype(np.int16)
     audio_sec = len(samples) / sample_rate
 
     if warmup:
-        m.demodulate(samples)  # compile
+        m.demodulate(samples, in_encoding=encoding)  # compile
 
     dt = float("inf")
     for _ in range(max(1, int(repeats))):
         t0 = time.perf_counter()
-        out = m.demodulate(samples)
+        out = m.demodulate(samples, in_encoding=encoding)
         dt = min(dt, time.perf_counter() - t0)
 
     ok = out == payload
     return {
         "mode": mode,
+        "encoding": encoding or ("pcm16" if s16 else "float32"),
         "audio_seconds": audio_sec,
         "wall_seconds": dt,
         "real_time_factor": audio_sec / dt,

@@ -589,13 +589,21 @@ def main(argv=None) -> int:
             f"(not {stream.channels})\n")
         return 1
 
-    # S16 fast path: when the file is PCM16 and no read-noise is injected,
-    # ship raw int16 to the device and normalize on-chip (identical values,
-    # half the transfer)
-    if (rxnoise_factor == 0.0
-            and getattr(stream, "_src_fmt_tag", None) == 1
-            and getattr(stream, "_src_bits", 0) == 16):
-        stream.format = SampleFormat.S16
+    # compact-wire fast paths (no read-noise only): PCM16 ships raw
+    # int16 (half the transfer, normalized on-chip); u-law/A-law/PCM8
+    # sources ship their raw bytes (quarter the transfer) and expand on
+    # device via the same G.711 algebra as the host tables — identical
+    # values either way
+    in_encoding = None
+    if rxnoise_factor == 0.0:
+        if (getattr(stream, "_src_fmt_tag", None) == 1
+                and getattr(stream, "_src_bits", 0) == 16):
+            stream.format = SampleFormat.S16
+        elif engine in ("auto", "device"):
+            enc_fn = getattr(stream, "raw_u8_encoding", None)
+            in_encoding = enc_fn() if enc_fn is not None else None
+            if in_encoding is not None:
+                stream.enable_raw_u8()
 
     # read the whole stream (file mode); half-buffer read emulation happens
     # inside the engine's counters
@@ -628,9 +636,9 @@ def main(argv=None) -> int:
         # (the TPU analogue of the reference's FSK_DEBUG stderr tracing)
         import jax
         with jax.profiler.trace(profile_dir):
-            ret = rxer.run(samples, engine=engine)
+            ret = rxer.run(samples, engine=engine, in_encoding=in_encoding)
     else:
-        ret = rxer.run(samples, engine=engine)
+        ret = rxer.run(samples, engine=engine, in_encoding=in_encoding)
     return -ret if ret < 0 else ret
 
 

@@ -57,13 +57,18 @@ class FskModem:
         return np.concatenate(out) if out else np.zeros(0)
 
     # ------------------------------------------------------------------
-    def demodulate(self, samples: np.ndarray, return_events: bool = False):
-        """Decode FSK audio samples to bytes."""
+    def demodulate(self, samples: np.ndarray, return_events: bool = False,
+                   in_encoding: str = None):
+        """Decode FSK audio samples to bytes.
+
+        in_encoding: raw-u8 wire encoding ("ulaw"/"alaw"/"pcm8") when
+        `samples` holds unexpanded bytes — the device expands on chip
+        (1 byte/sample over the host link, bit-identical values)."""
         from ..rx.engine import Receiver
 
         # int16 passes through raw: the device receiver normalizes on-chip
         # (halves the host->device transfer)
-        if samples.dtype != np.int16:
+        if in_encoding is None and samples.dtype != np.int16:
             samples = np.asarray(samples, np.float32)
 
         codec = get_codec(self.preset.decoder, **(
@@ -72,7 +77,7 @@ class FskModem:
         events: list[str] = []
         rxer = Receiver(self.cfg, self.rx_options, codec,
                         sink.write, events.append)
-        rxer.run(samples)
+        rxer.run(samples, in_encoding=in_encoding)
         if return_events:
             return sink.getvalue(), events
         return sink.getvalue()

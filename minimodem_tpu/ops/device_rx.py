@@ -140,6 +140,54 @@ def geo_from_key(cfg_key) -> DemodGeometry:
         req_sync=req_sync, use_f64=use_f64)
 
 
+def normalize_input(x, input_dtype: str):
+    """Device-side sample normalization for compact wire encodings.
+
+    "int16" halves the host->device transfer for PCM16 sources; "ulaw" /
+    "alaw" / "pcm8" quarter it (1 byte/sample) for the telephony
+    subformats the reference reads transparently via sf_readf_float
+    (src/simpleaudio-sndfile.c:46-70).  The G.711 expansions are the
+    same integer algebra as the host tables (sigio/containers.py
+    _ULAW_DEC/_ALAW_DEC) so device values are bit-identical to a
+    host-expanded float read."""
+    if input_dtype == "int16":
+        return x.astype(jnp.float32) / jnp.float32(32768.0)
+    if input_dtype == "ulaw":
+        b = x.astype(jnp.int32)
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        v = jnp.where((u & 0x80) != 0, 0x84 - t, t - 0x84)
+        return v.astype(jnp.float32) / jnp.float32(32768.0)
+    if input_dtype == "alaw":
+        b = x.astype(jnp.int32)
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        t = jnp.where(seg == 0, t + 8,
+                      jnp.where(seg == 1, t + 0x108,
+                                (t + 0x108) << jnp.maximum(seg - 1, 0)))
+        v = jnp.where((a & 0x80) != 0, t, -t)
+        return v.astype(jnp.float32) / jnp.float32(32768.0)
+    if input_dtype == "pcm8":                # unsigned WAV PCM8
+        v = (x.astype(jnp.int32) - 128) << 8
+        return v.astype(jnp.float32) / jnp.float32(32768.0)
+    return x
+
+
+# wire dtypes that arrive as raw uint8 and expand on device
+U8_ENCODINGS = ("ulaw", "alaw", "pcm8")
+
+
+def wire_dtype(samples: np.ndarray, in_encoding: str = None) -> str:
+    """Wire encoding of a host sample array: an explicit u8 encoding
+    (U8_ENCODINGS) wins; else int16/float32 by dtype."""
+    if in_encoding:
+        assert in_encoding in U8_ENCODINGS, in_encoding
+        assert samples.dtype == np.uint8, samples.dtype
+        return in_encoding
+    return "int16" if samples.dtype == np.int16 else "float32"
+
+
 def make_score_packer(cfg_key, t_total: int, input_dtype: str):
     """Traced fn x[t_total + halo] -> packed scores [8, t_total] uint32.
 
@@ -170,8 +218,7 @@ def make_score_packer(cfg_key, t_total: int, input_dtype: str):
 
     def score_arrays(x):
         """stages 1+2 -> packed per-offset channels [8, t_total] uint32."""
-        if input_dtype == "int16":
-            x = x.astype(jnp.float32) / jnp.float32(32768.0)
+        x = normalize_input(x, input_dtype)
         if fused is not None:
             return fused(x)
         xd = x.astype(dtype)
@@ -243,9 +290,7 @@ def make_score_packer_planes(cfg_key, t_total: int, input_dtype: str):
         fused = make_fused_packer(geo, basis_np, t_total, planes=True)
 
         def score_planes(x):
-            if input_dtype == "int16":
-                x = x.astype(jnp.float32) / jnp.float32(32768.0)
-            return fused(x)
+            return fused(normalize_input(x, input_dtype))
 
         return score_planes, n_ch, rows
 
@@ -1314,8 +1359,10 @@ class DeviceReceiver:
 
     def run_events_batch(self, samples: np.ndarray, totals,
                          conf_threshold: float, conf_search_limit: float,
-                         carry=None, finalize: bool = True):
-        """samples: [B, L] (int16 or float32); totals: [B] valid lengths.
+                         carry=None, finalize: bool = True,
+                         in_encoding: str = None):
+        """samples: [B, L] (int16, float32, or uint8 with in_encoding in
+        U8_ENCODINGS); totals: [B] valid lengths.
         Returns (events, carry_out) where events is a list of per-stream
         tuples — (ev_type, ev_pay) or, in compact mode, (ev_type, ev_pay,
         byte_stream).  Pass carry_out back in (with finalize=False on all
@@ -1327,11 +1374,11 @@ class DeviceReceiver:
             # (round 3: streaming carry + finalize flag in the kernel)
             return self._mega.run_events_batch(
                 samples, totals, conf_threshold, conf_search_limit,
-                carry=carry, finalize=finalize)
+                carry=carry, finalize=finalize, in_encoding=in_encoding)
         t_total = _round_up_pow2(
             int(totals.max(initial=0)) + self.cfg.nsamples_overscan + 1)
         geo = geometry_from_config(self.cfg)
-        in_dtype = "int16" if samples.dtype == np.int16 else "float32"
+        in_dtype = wire_dtype(samples, in_encoding)
         fn, max_events, _ = _build_device_rx(
             self.key, t_total, self.rx_one, in_dtype, finalize,
             self.compact, stop_on_overflow=self.stop_on_overflow)
@@ -1377,7 +1424,7 @@ class PipelinedReceiver:
     """
 
     def __init__(self, cfg: ModemConfig, precision: str = "auto",
-                 rx_one: bool = False, segment_len: int = 1 << 23):
+                 rx_one: bool = False, segment_len: int = 1 << 21):
         from ..utils.cfloat import trunc_i
 
         self.cfg = cfg
@@ -1400,7 +1447,7 @@ class PipelinedReceiver:
         self.step = self.segment_len - self.overlap
 
     def run(self, samples: np.ndarray, conf_threshold: float,
-            conf_search_limit: float):
+            conf_search_limit: float, in_encoding: str = None):
         """Yield per-segment event tuples — (ev_type, ev_pay) or
         (ev_type, ev_pay, byte_stream) in compact mode."""
         import jax
@@ -1410,11 +1457,12 @@ class PipelinedReceiver:
                                   self.compact)
         if n <= self.segment_len:
             events, _ = one_shot.run_events_batch(
-                samples[None, :], [n], conf_threshold, conf_search_limit)
+                samples[None, :], [n], conf_threshold, conf_search_limit,
+                in_encoding=in_encoding)
             yield events[0]
             return
 
-        in_dtype = "int16" if samples.dtype == np.int16 else "float32"
+        in_dtype = wire_dtype(samples, in_encoding)
         total_nf = self.segment_len - self._lookahead + self.cfg.expect_nsamples
         t_total = _round_up_pow2(total_nf + self.cfg.nsamples_overscan + 1)
         thr = np.float32(conf_threshold)

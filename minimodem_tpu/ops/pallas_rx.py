@@ -1285,7 +1285,8 @@ class MegaReceiver:
 
     def run_events_batch(self, samples: np.ndarray, totals,
                          conf_threshold: float, conf_search_limit: float,
-                         carry=None, finalize: bool = True):
+                         carry=None, finalize: bool = True,
+                         in_encoding: str = None):
         import jax
         import jax.numpy as jnp
 
@@ -1293,6 +1294,7 @@ class MegaReceiver:
             _collect_results,
             _round_up_pow2,
             geometry_from_config,
+            wire_dtype,
         )
 
         b, L = samples.shape
@@ -1300,7 +1302,7 @@ class MegaReceiver:
         t_total = _round_up_pow2(
             int(totals.max(initial=0)) + self.cfg.nsamples_overscan + 1)
         geo = geometry_from_config(self.cfg)
-        in_dtype = "int16" if samples.dtype == np.int16 else "float32"
+        in_dtype = wire_dtype(samples, in_encoding)
         fn, max_events, t_score = self._fn_for(t_total, b, in_dtype,
                                                finalize)
         x = np.zeros((b, t_score + geo.halo), samples.dtype)

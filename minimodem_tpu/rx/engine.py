@@ -143,7 +143,7 @@ class Receiver:
     # ------------------------------------------------------------------
     def run(self, samples: np.ndarray,
             provider: Optional[ScoreProvider] = None,
-            engine: str = "auto") -> int:
+            engine: str = "auto", in_encoding: str = None) -> int:
         """Decode a sample stream.
 
         engine: "device" = fully TPU-resident state machine (fast path),
@@ -151,21 +151,37 @@ class Receiver:
         required for carrier autodetect), "host-native" = chunked scoring +
         the C++ state machine (native/hostrx.cpp), "auto" = device unless a
         host-only feature is active.
+
+        in_encoding: u8 wire encoding ("ulaw"/"alaw"/"pcm8") of a raw
+        uint8 sample array — the device path ships 1 byte/sample over
+        the host link and expands on chip (bit-identical values); host
+        paths expand up front.
         """
         if engine == "auto":
             engine = "device"
         if engine == "device":
             if self.opts.carrier_autodetect_threshold > 0.0:
+                if in_encoding:
+                    samples = self._expand_u8(samples, in_encoding)
                 return self._run_device_autodetect(samples)
-            return self._run_device(samples)
+            return self._run_device(samples, in_encoding)
+        if in_encoding:
+            samples = self._expand_u8(samples, in_encoding)
         if samples.dtype == np.int16:
             samples = samples.astype(np.float32) / np.float32(32768.0)
         if engine == "host-native":
             return self._run_host_native(samples)
         return self._run_host(samples, provider)
 
+    @staticmethod
+    def _expand_u8(samples: np.ndarray, in_encoding: str) -> np.ndarray:
+        from ..sigio.containers import expand_u8
+
+        return expand_u8(samples, in_encoding)
+
     # ------------------------------------------------------------------
-    def _run_device(self, samples: np.ndarray) -> int:
+    def _run_device(self, samples: np.ndarray,
+                    in_encoding: str = None) -> int:
         """Event-stream path: ops/device_rx.py runs the whole pipeline on
         device; this loop only renders events (codecs + protocol lines).
         Long streams go through the pipelined receiver so host->device
@@ -173,12 +189,14 @@ class Receiver:
         from ..ops.device_rx import PipelinedReceiver
 
         opts = self.opts
-        dtype = np.int16 if samples.dtype == np.int16 else np.float32
+        dtype = (np.uint8 if in_encoding else
+                 np.int16 if samples.dtype == np.int16 else np.float32)
         rxer = PipelinedReceiver(self.cfg, opts.precision, opts.rx_one)
         rc = 0
         for seg_events in rxer.run(
                 np.ascontiguousarray(samples, dtype),
-                opts.confidence_threshold, opts.confidence_search_limit):
+                opts.confidence_threshold, opts.confidence_search_limit,
+                in_encoding=in_encoding):
             rc = self.render_events(*seg_events)
         return rc
 

@@ -1162,6 +1162,37 @@ def _ulaw_decode_table() -> np.ndarray:
 
 
 _ULAW_DEC = _ulaw_decode_table()
+
+# u-law segment boundaries of the biased magnitude (BIAS 0x84)
+_ULAW_SEG = np.array([0x100, 0x200, 0x400, 0x800, 0x1000, 0x2000, 0x4000],
+                     np.int32)
+
+
+def _ulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 -> G.711 u-law u8 (classic linear2ulaw, BIAS 0x84 —
+    libsndfile's convention; tests pin byte equality with it)."""
+    x = np.asarray(pcm, np.int32)
+    sign = x < 0
+    mag = np.minimum(np.where(sign, -x, x) + 0x84, 0x7FFF)
+    seg = np.searchsorted(_ULAW_SEG, mag, side="right")
+    u = ((sign.astype(np.int32) << 7) | (seg << 4)
+         | ((mag >> (seg + 3)) & 0xF))
+    return (~u & 0xFF).astype(np.uint8)
+
+
+def expand_u8(samples: np.ndarray, encoding: str) -> np.ndarray:
+    """Host-side expansion of a raw u8 wire encoding -> float32 samples
+    (the same values ops/device_rx.normalize_input produces on device)."""
+    b = np.asarray(samples, np.uint8)
+    if encoding == "ulaw":
+        v = _ULAW_DEC[b]
+    elif encoding == "alaw":
+        v = _ALAW_DEC[b]
+    elif encoding == "pcm8":
+        v = (b.astype(np.int16) - 128) << 8
+    else:
+        raise ValueError(f"unknown u8 encoding {encoding!r}")
+    return v.astype(np.float32) / np.float32(32768.0)
 # encode via nearest-boundary search over the decode table's positive half
 _ALAW_SEG = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF],
                      np.int32)

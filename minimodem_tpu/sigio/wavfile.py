@@ -257,6 +257,21 @@ class FileStream(Stream):
         return nframes
 
     # ================= read side =================
+    def raw_u8_encoding(self):
+        """Wire encoding name when this source is a 1-byte-per-sample
+        format the device can expand itself (ops/device_rx.U8_ENCODINGS)
+        — u-law / A-law / unsigned WAV PCM8 — else None.  Call
+        enable_raw_u8() to make read() return the raw uint8 bytes."""
+        if self._src_dtype in ("ulaw", "alaw"):
+            return self._src_dtype
+        if self._src_dtype is np.uint8:      # unsigned PCM8 (WAV)
+            return "pcm8"
+        return None
+
+    def enable_raw_u8(self) -> None:
+        assert self.raw_u8_encoding() is not None
+        self._raw_u8 = True
+
     def _read_header(self) -> None:
         magic = self._fh.read(4)
         if magic == b"RIFF":
@@ -495,9 +510,11 @@ class FileStream(Stream):
             want = min(nframes * self.channels, self._data_remaining)
             raw = self._fh.read(want)
             self._data_remaining -= len(raw)
+            b = np.frombuffer(raw, np.uint8)
+            if getattr(self, "_raw_u8", False):
+                return b                     # wire bytes, expanded on device
             table = _ALAW_DEC if self._src_dtype == "alaw" else _ULAW_DEC
-            vals = table[np.frombuffer(raw, np.uint8)]
-            return self._convert(vals, src_bits=16)
+            return self._convert(table[b], src_bits=16)
         dt = np.dtype(self._src_dtype)
         want = nframes * self.channels * dt.itemsize
         want = min(want, self._data_remaining)
@@ -505,6 +522,8 @@ class FileStream(Stream):
         self._data_remaining -= len(raw)
         n = len(raw) // dt.itemsize
         vals = np.frombuffer(raw[: n * dt.itemsize], dtype=dt)
+        if getattr(self, "_raw_u8", False) and dt == np.uint8:
+            return vals                      # PCM8 wire bytes
         return self._convert(vals)
 
     def _read_pcm24(self, nframes: int, big_endian: bool = False) -> np.ndarray:
