@@ -162,6 +162,73 @@ def build_variant(geo_key, n_tiles, batch, t_tile, variant):
                 sbk = jnp.abs(ssk)
                 avg_own = jnp.where(ssk > 0, avg_mark, avg_space)
                 divergence = divergence + jnp.abs(sbk - avg_own) / avg_own
+        elif variant == "relu":
+            # telescoped divergence (round 4): with am = mark_sig/n_mark
+            # and as = space_sig/n_space, the per-tap
+            # |sbk - avg_own|/avg_own sum collapses algebraically to
+            #   2*(R_m/am + R_s/as),
+            #   R_m = sum_k relu(ss_k - am), R_s = sum_k relu(-ss_k - as)
+            # (mark taps contribute only to R_m, space taps only to R_s,
+            # because relu kills the cross terms; the linear parts cancel
+            # against n_mark/n_space exactly in real arithmetic).  Same
+            # loads, no per-tap select/abs/div.
+            rm = jnp.where(avg_mark > 0,
+                           jnp.float32(1.0) / avg_mark, zero)
+            rs = jnp.where(avg_space > 0,
+                           jnp.float32(1.0) / avg_space, zero)
+            R_m = zf
+            R_s = zf
+            for k in range(n_bits):
+                ssk = shift_ss(int(bit_begin[k]))
+                R_m = R_m + jnp.maximum(ssk - avg_mark, zero)
+                R_s = R_s - jnp.minimum(ssk + avg_space, zero)
+            divergence = jnp.float32(2.0) * (R_m * rm + R_s * rs)
+        elif variant == "blkrot":
+            # load each 128-lane slab block ONCE (aligned), derive every
+            # tap by register concat + static slice: the 11 unaligned
+            # tap reads overlap pairwise by ~88 lanes, so naive codegen
+            # loads the same blocks ~2x/tap; if mosaic folds
+            # concat+slice into a register align, loads collapse from
+            # 2/tap to ov+1 total.
+            blocks = [pss[:, c * 128:(c + 1) * 128] for c in range(ov)]
+
+            def tap(k):
+                q, r = divmod(int(bit_begin[k]), 128)
+                if r == 0:
+                    return blocks[q]
+                pair = jnp.concatenate([blocks[q], blocks[q + 1]],
+                                       axis=1)
+                return jax.lax.slice_in_dim(pair, r, r + 128, axis=1)
+
+            divergence = zf
+            for k in range(n_bits):
+                ssk = tap(k)
+                sbk = jnp.abs(ssk)
+                avg_own = jnp.where(ssk > 0, avg_mark, avg_space)
+                divergence = divergence + jnp.abs(sbk - avg_own) / avg_own
+        elif variant == "relublk":
+            # blkrot loads + telescoped relu arithmetic combined
+            blocks = [pss[:, c * 128:(c + 1) * 128] for c in range(ov)]
+
+            def tap(k):
+                q, r = divmod(int(bit_begin[k]), 128)
+                if r == 0:
+                    return blocks[q]
+                pair = jnp.concatenate([blocks[q], blocks[q + 1]],
+                                       axis=1)
+                return jax.lax.slice_in_dim(pair, r, r + 128, axis=1)
+
+            rm = jnp.where(avg_mark > 0,
+                           jnp.float32(1.0) / avg_mark, zero)
+            rs = jnp.where(avg_space > 0,
+                           jnp.float32(1.0) / avg_space, zero)
+            R_m = zf
+            R_s = zf
+            for k in range(n_bits):
+                ssk = tap(k)
+                R_m = R_m + jnp.maximum(ssk - avg_mark, zero)
+                R_s = R_s - jnp.minimum(ssk + avg_space, zero)
+            divergence = jnp.float32(2.0) * (R_m * rm + R_s * rs)
         elif variant == "nodiv":
             acc_m = zf
             acc_s = zf
