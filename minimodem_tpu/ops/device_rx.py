@@ -177,6 +177,23 @@ def normalize_input(x, input_dtype: str):
 # wire dtypes that arrive as raw uint8 and expand on device
 U8_ENCODINGS = ("ulaw", "alaw", "pcm8")
 
+# pad/fill byte per encoding: the scan window's deepest score reads up
+# to ~try_max samples PAST a stream's total, so buffer padding must
+# expand to silence like the float path's zero fill.  u-law 0xFF and
+# PCM8 0x80 decode to exactly 0.0; A-law has no zero codeword — 0xD5
+# decodes to +8 (2.4e-4), i.e. "A-law silence", the same LSB floor a
+# real A-law recording of silence carries (drift class: ~1 ulp of an
+# O(1) confidence, same as the fused scorer's accepted lowering drift)
+PAD_BYTE = {"ulaw": 0xFF, "alaw": 0xD5, "pcm8": 0x80}
+
+
+def alloc_wire(shape, samples_dtype, in_encoding: str = None):
+    """Zero-signal-filled host buffer for a wire upload: np.zeros for
+    int16/float32, the encoding's silence codeword for raw u8."""
+    if in_encoding:
+        return np.full(shape, PAD_BYTE[in_encoding], np.uint8)
+    return np.zeros(shape, samples_dtype)
+
 
 def wire_dtype(samples: np.ndarray, in_encoding: str = None) -> str:
     """Wire encoding of a host sample array: an explicit u8 encoding
@@ -1382,7 +1399,8 @@ class DeviceReceiver:
         fn, max_events, _ = _build_device_rx(
             self.key, t_total, self.rx_one, in_dtype, finalize,
             self.compact, stop_on_overflow=self.stop_on_overflow)
-        x = np.zeros((b, t_total + geo.halo), samples.dtype)
+        x = alloc_wire((b, t_total + geo.halo), samples.dtype,
+                       in_encoding)
         x[:, :min(L, t_total + geo.halo)] = samples[:, :t_total + geo.halo]
         if carry is None:
             carry = zero_carry(b)
@@ -1543,7 +1561,8 @@ class PipelinedReceiver:
         geo = self.geo
 
         def put(seg, tt):
-            x = np.zeros((1, tt + geo.halo), samples.dtype)
+            x = alloc_wire((1, tt + geo.halo), samples.dtype,
+                           in_encoding)
             m = min(len(seg), x.shape[1])
             x[0, :m] = seg[:m]
             return jax.device_put(x)

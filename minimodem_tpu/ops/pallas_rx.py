@@ -1293,6 +1293,7 @@ class MegaReceiver:
         from .device_rx import (
             _collect_results,
             _round_up_pow2,
+            alloc_wire,
             geometry_from_config,
             wire_dtype,
         )
@@ -1305,7 +1306,8 @@ class MegaReceiver:
         in_dtype = wire_dtype(samples, in_encoding)
         fn, max_events, t_score = self._fn_for(t_total, b, in_dtype,
                                                finalize)
-        x = np.zeros((b, t_score + geo.halo), samples.dtype)
+        x = alloc_wire((b, t_score + geo.halo), samples.dtype,
+                       in_encoding)
         x[:, :min(L, t_score + geo.halo)] = samples[:, :t_score + geo.halo]
         thr2 = np.asarray([conf_threshold, conf_search_limit], np.float32)
         ci, cf = self.carry_to_arrays(carry, b)

@@ -182,12 +182,14 @@ class ShardedReceiver:
 
     def run_events_batch(self, samples: np.ndarray, totals,
                          conf_threshold: float = 1.5,
-                         conf_search_limit: float = 2.3):
-        """samples: [B, L] (int16 or float32); totals: [B] valid lengths.
-        B is padded up to a multiple of the dp axis; padded rows decode
-        silence and are dropped.  Returns (events, stats) — events like
-        DeviceReceiver's (per-stream (ev_type, ev_pay) tuples), stats a
-        dict of fleet aggregates."""
+                         conf_search_limit: float = 2.3,
+                         in_encoding: str = None):
+        """samples: [B, L] (int16, float32, or uint8 with in_encoding in
+        U8_ENCODINGS — telephony bytes expand on each chip); totals: [B]
+        valid lengths.  B is padded up to a multiple of the dp axis;
+        padded rows decode silence and are dropped.  Returns (events,
+        stats) — events like DeviceReceiver's (per-stream tuples), stats
+        a dict of fleet aggregates."""
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -196,7 +198,9 @@ class ShardedReceiver:
         from ..ops.device_rx import (
             _collect_results,
             _round_up_pow2,
+            alloc_wire,
             geometry_from_config,
+            wire_dtype,
             zero_carry,
         )
 
@@ -215,11 +219,11 @@ class ShardedReceiver:
         # last shard scores into zeros, which is what the region holds
         # anyway — t_total exceeds every stream's valid length)
         t_host = t_total if self.sp > 1 else t_total + geo.halo
-        x = np.zeros((b_pad, t_host), samples.dtype)
+        x = alloc_wire((b_pad, t_host), samples.dtype, in_encoding)
         x[:b, :min(L, t_host)] = samples[:, :t_host]
         tot = np.zeros((b_pad,), np.int32)
         tot[:b] = totals
-        in_dtype = "int16" if samples.dtype == np.int16 else "float32"
+        in_dtype = wire_dtype(samples, in_encoding)
         fn = self._fn_for(t_total, in_dtype)
 
         shard = NamedSharding(self.mesh, P("dp"))

@@ -79,6 +79,60 @@ def _ulaw_wav(path: str, samples_f32: np.ndarray) -> None:
                             b"WAVE") + riff + data)
 
 
+def test_pad_bytes_decode_to_silence():
+    """Wire-buffer padding must expand to silence like the float path's
+    zero fill (the scan window reads past a stream's total): u-law 0xFF
+    and PCM8 0x80 are exact zeros; A-law's best is +-8 LSB."""
+    from minimodem_tpu.ops.device_rx import PAD_BYTE, alloc_wire
+
+    for enc in ("ulaw", "pcm8"):
+        buf = alloc_wire((4,), np.float32, enc)
+        assert buf.dtype == np.uint8
+        assert np.all(expand_u8(buf, enc) == 0.0), enc
+    a = expand_u8(alloc_wire((4,), np.float32, "alaw"), "alaw")
+    assert np.all(np.abs(a) <= 8.0 / 32768.0)
+    assert alloc_wire((4,), np.int16).dtype == np.int16
+    assert set(PAD_BYTE) == {"ulaw", "alaw", "pcm8"}
+
+
+def test_sharded_service_u8_ingest():
+    """ShardedReceiver decodes raw u-law wire bytes on the virtual mesh
+    to the same bytes as the float batch."""
+    import jax
+    import pytest as _pytest
+
+    from minimodem_tpu.parallel.service import ShardedReceiver
+    from minimodem_tpu.parallel.sharding import make_mesh
+
+    if len(jax.devices()) < 4:
+        _pytest.skip("needs the virtual CPU mesh")
+    mesh = make_mesh(4, dp=4, sp=1)
+    m = FskModem("1200")
+    texts = [b"fleet ulaw zero", b"fu1!", b"fleet ulaw two"]
+    streams, raws = [], []
+    for t in texts:
+        w = m.modulate(t)
+        s16 = np.clip(np.rint(w * 32768.0), -32768, 32767).astype(np.int16)
+        raws.append(_ulaw_encode(s16))
+        streams.append(expand_u8(raws[-1], "ulaw"))
+    L = max(len(r) for r in raws)
+    xr = np.full((len(raws), L), 0xFF, np.uint8)     # u-law silence pad
+    xf = np.zeros((len(raws), L), np.float32)
+    for i, (r, s) in enumerate(zip(raws, streams)):
+        xr[i, :len(r)] = r
+        xf[i, :len(s)] = s
+    totals = [len(r) for r in raws]
+
+    svc = ShardedReceiver(m.cfg, mesh)
+    ev_u8, stats_u8 = svc.run_events_batch(xr, totals, 1.5, 2.3,
+                                           in_encoding="ulaw")
+    ev_f, stats_f = svc.run_events_batch(xf, totals, 1.5, 2.3)
+    assert stats_u8 == stats_f
+    for tu, tf in zip(ev_u8, ev_f):
+        for a, b in zip(tu, tf):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_cli_ulaw_device_matches_host(tmp_path):
     """The CLI's raw-u8 device path and the host engine decode a u-law
     WAV to identical bytes AND identical stats lines."""
