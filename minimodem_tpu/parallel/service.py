@@ -106,19 +106,26 @@ class ShardedReceiver:
             packer = make_score_packer(self.key, t_local, in_dtype)
             halo = geo.halo
 
+        from ..ops.device_rx import PAD_BYTE, U8_ENCODINGS
+
+        silence = (PAD_BYTE[in_dtype] if in_dtype in U8_ENCODINGS else 0)
+
         def local_fn(x, totals, thr, carry):
             # thr: [2] = (conf_threshold, conf_search_limit), replicated
             if sp > 1:
                 # x: [Bl, t_local] time shard; fetch the right-neighbor
-                # halo over ICI (last shard scores into zero padding,
-                # matching the unsharded scorer's zero-pad past t_total)
+                # halo over ICI (last shard scores into silence padding,
+                # matching the unsharded scorer's pad past t_total — for
+                # u8 wire encodings that's the silence CODEWORD, not
+                # byte 0, which would expand to DC)
                 lead = x[:, :halo]
                 left_halo = jax.lax.ppermute(
                     lead, "sp",
                     [(i, (i - 1) % sp) for i in range(sp)])
                 is_last = jax.lax.axis_index("sp") == sp - 1
                 left_halo = jnp.where(is_last,
-                                      jnp.zeros_like(left_halo), left_halo)
+                                      jnp.full_like(left_halo, silence),
+                                      left_halo)
                 x_ext = jnp.concatenate([x, left_halo], axis=1)
                 packed_local = jax.vmap(packer)(x_ext)  # [Bl, 8, t_local]
                 packed = jax.lax.all_gather(

@@ -95,18 +95,20 @@ def test_pad_bytes_decode_to_silence():
     assert set(PAD_BYTE) == {"ulaw", "alaw", "pcm8"}
 
 
-def test_sharded_service_u8_ingest():
+@pytest.mark.parametrize("dp,sp", [(4, 1), (2, 2)])
+def test_sharded_service_u8_ingest(dp, sp):
     """ShardedReceiver decodes raw u-law wire bytes on the virtual mesh
-    to the same bytes as the float batch."""
+    to the same events as the float batch — including sp>1, where the
+    last shard's halo must fill with the u-law silence codeword."""
     import jax
     import pytest as _pytest
 
     from minimodem_tpu.parallel.service import ShardedReceiver
     from minimodem_tpu.parallel.sharding import make_mesh
 
-    if len(jax.devices()) < 4:
+    if len(jax.devices()) < dp * sp:
         _pytest.skip("needs the virtual CPU mesh")
-    mesh = make_mesh(4, dp=4, sp=1)
+    mesh = make_mesh(dp * sp, dp=dp, sp=sp)
     m = FskModem("1200")
     texts = [b"fleet ulaw zero", b"fu1!", b"fleet ulaw two"]
     streams, raws = [], []
