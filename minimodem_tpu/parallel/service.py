@@ -105,6 +105,15 @@ class ShardedReceiver:
                     "use fewer sp shards for this geometry")
             packer = make_score_packer(self.key, t_local, in_dtype)
             halo = geo.halo
+            # single-expect narrow geometries carry only 3 distinct
+            # channels (conf_sync/ampl_sync alias the data rows, bits_hi
+            # and rows 6/7 are zero — pallas_score.plane_rows): gather
+            # those 3 over ICI and re-alias after, 2.7x less all_gather
+            # volume; dual-expect (--sync-byte) / wide-bits keep all 8
+            from ..ops.pallas_score import plane_rows
+
+            slim = plane_rows(geo.n_bits, geo.req_data,
+                              geo.req_sync)[0] == 4
 
         from ..ops.device_rx import PAD_BYTE, U8_ENCODINGS
 
@@ -128,8 +137,16 @@ class ShardedReceiver:
                                       left_halo)
                 x_ext = jnp.concatenate([x, left_halo], axis=1)
                 packed_local = jax.vmap(packer)(x_ext)  # [Bl, 8, t_local]
-                packed = jax.lax.all_gather(
-                    packed_local, "sp", axis=2, tiled=True)
+                if slim:
+                    sel = packed_local[:, (0, 2, 4), :]  # cd, ad, bits_lo
+                    g = jax.lax.all_gather(sel, "sp", axis=2, tiled=True)
+                    z = jnp.zeros_like(g[:, :1])
+                    packed = jnp.concatenate(
+                        [g[:, 0:1], g[:, 0:1], g[:, 1:2], g[:, 1:2],
+                         g[:, 2:3], z, z, z], axis=1)
+                else:
+                    packed = jax.lax.all_gather(
+                        packed_local, "sp", axis=2, tiled=True)
                 out = rx_fn(packed, totals, thr[0], thr[1], carry)
             else:
                 out = rx_fn(x, totals, thr[0], thr[1], carry)

@@ -135,6 +135,37 @@ def test_sp_sharded_full_decode(dp, sp):
             np.testing.assert_array_equal(a, b)
 
 
+def test_sp_sharded_dual_expect_same_mode():
+    """SAME (--sync-byte) is dual-expect: the sp path must keep the full
+    8-channel gather (the slim 3-channel re-alias only serves
+    single-expect geometries) and still match the single chip."""
+    import jax
+
+    from minimodem_tpu.ops.device_rx import DeviceReceiver
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual CPU mesh")
+    mesh = make_mesh(4, dp=2, sp=2)
+    m = FskModem("same")
+    texts = [b"ZCZC-WXR-RWT-000000+", b"NNNN"]
+    streams = [m.modulate(t) for t in texts]
+    svc = ShardedReceiver(m.cfg, mesh)
+    outs, stats = svc.decode_batch(streams)
+    assert outs == texts
+
+    L = max(len(s) for s in streams)
+    x = np.zeros((len(streams), L), np.float32)
+    for i, s in enumerate(streams):
+        x[i, :len(s)] = s
+    totals = [len(s) for s in streams]
+    ev_sharded, _ = svc.run_events_batch(x, totals, 1.5, 2.3)
+    single = DeviceReceiver(m.cfg)
+    ev_single, _ = single.run_events_batch(x, totals, 1.5, 2.3)
+    for tup_s, tup_1 in zip(ev_sharded, ev_single):
+        for a, b in zip(tup_s, tup_1):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_sharded_loopback_matches_device_loopback(mesh8):
     """ShardedLoopback runs DeviceLoopback's exact per-chip program
     under shard_map: every result part (events, payloads, byte streams)
