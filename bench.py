@@ -19,6 +19,7 @@ def main() -> int:
     from minimodem_tpu.bench import (
         batched_loopback_throughput,
         decode_throughput,
+        fleet_loopback_throughput,
         loopback_throughput,
     )
 
@@ -45,6 +46,9 @@ def main() -> int:
     # amortizes over stream length, and the artifact records the
     # audio_seconds measured
     lb = loopback_throughput("1200", audio_seconds=audio_seconds, repeats=3)
+    # fleet path: the sharded service's per-chip program (dp = devices)
+    fleet = fleet_loopback_throughput("1200", audio_seconds=audio_seconds,
+                                      batch=batch)
     e2e = decode_throughput("1200", audio_seconds=2 * audio_seconds,
                             repeats=3)
     e2e_u = decode_throughput("1200", audio_seconds=2 * audio_seconds,
@@ -73,7 +77,7 @@ def main() -> int:
         "single_burst_latency_ms": round(r["single_burst_latency_ms"], 1),
     }
 
-    ok = all(r["decode_exact"] for r in (blb, blb2, lb, e2e, e2e_u)) \
+    ok = all(r["decode_exact"] for r in (blb, blb2, lb, e2e, e2e_u, fleet)) \
         and all(m["decode_exact"] for m in modes.values())
     out = {
         "metric": "bell202_48k_decode_realtime_factor",
@@ -91,6 +95,8 @@ def main() -> int:
             blb["real_time_factor"], 2),
         "pipelined_batches": blb2["pipeline"],
         "pipelined_realtime_factor": round(blb2["real_time_factor"], 2),
+        "fleet_realtime_factor": round(fleet["real_time_factor"], 2),
+        "fleet_devices": fleet["devices"],
         "modes": modes,
     }
     print(json.dumps(out))

@@ -76,6 +76,9 @@ def run_decode_benchmarks(audio_seconds: float = 10.0) -> None:
     try:
         r = decode_throughput("1200", audio_seconds=audio_seconds)
         rows.append(("decode-Bell202-e2e-host", r))
+        r = decode_throughput("1200", audio_seconds=audio_seconds,
+                              encoding="ulaw")
+        rows.append(("decode-Bell202-e2e-ulaw", r))
         r = loopback_throughput("1200", audio_seconds=audio_seconds)
         rows.append(("decode-Bell202-on-device", r))
     except Exception as e:  # no usable jax device: keep tone-gen output
@@ -277,6 +280,62 @@ def batched_loopback_throughput(mode: str = "1200",
         "batch": batch,
         "pipeline": pipeline,
         "chain": chain,
+        "audio_seconds": audio_sec,
+        "wall_seconds": dt,
+        "real_time_factor": audio_sec / dt,
+        "decode_exact": bool(ok),
+    }
+
+
+def fleet_loopback_throughput(mode: str = "1200",
+                              audio_seconds: float = 60.0,
+                              batch: int = 64, sample_rate: int = 48000,
+                              precision: str = "auto") -> dict:
+    """The deployment-shape fleet path: ShardedLoopback runs
+    DeviceLoopback's exact per-chip program under shard_map over a
+    dp = n_devices mesh (parallel/service.py).  On one chip this pins
+    the service layer's overhead vs the single-chip loopback (measured
+    within ~3.5% on v5e); on a real fleet it is the per-chip number
+    times the mesh."""
+    import io
+
+    import jax
+
+    from .codecs import Ascii8Codec, get_codec
+    from .config import RxOptions
+    from .models.modem import FskModem
+    from .ops.tx_device import tx_bit_schedule
+    from .parallel.service import ShardedLoopback
+    from .parallel.sharding import make_mesh
+    from .rx.engine import Receiver
+
+    m = FskModem(mode, sample_rate=sample_rate, precision=precision)
+    base = _bench_payload(m.cfg, audio_seconds)
+    payloads = [bytes((b + 3 * i) % 94 + 33 for b in base)
+                for i in range(batch)]
+    scheds = [tx_bit_schedule(p, m.cfg, Ascii8Codec()) for p in payloads]
+    audio_sec = (sum(len(s) for s in scheds)
+                 * m.cfg.bit_nsamples_tx / sample_rate)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev, dp=n_dev, sp=1)
+    flb = ShardedLoopback(m.cfg, mesh, precision)
+    events = flb.run_events_batch(scheds)    # compile + correctness
+    ok = True
+    for i, p in enumerate(payloads):
+        sink = io.BytesIO()
+        rx = Receiver(m.cfg, RxOptions(), get_codec("ascii8"),
+                      sink.write, lambda s: None)
+        rx.render_events(*events[i])
+        ok = ok and sink.getvalue() == p
+
+    t0 = time.perf_counter()
+    flb.run_events_batch(scheds)
+    dt = time.perf_counter() - t0
+    return {
+        "mode": mode,
+        "batch": batch,
+        "devices": n_dev,
         "audio_seconds": audio_sec,
         "wall_seconds": dt,
         "real_time_factor": audio_sec / dt,

@@ -87,3 +87,40 @@ def test_fuzz_engine_parity(seed):
     # fuzz space where every case degenerates to agreeing on nothing)
     if seed % 2 == 0:
         assert results["host"][0] == payload, desc
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_u8_wire_parity(seed):
+    """Raw u-law wire decode (device-side G.711 expansion) must equal
+    the host-expanded float decode across random geometries — bytes AND
+    event lines, clean and noisy-quantized."""
+    from minimodem_tpu.sigio.containers import _ulaw_encode, expand_u8
+
+    rng = np.random.default_rng(7000 + seed)
+    cfg, desc = _random_cfg(rng)
+    nbytes = int(rng.integers(24, 64))
+    payload = bytes(int(b) for b in rng.integers(33, 127, nbytes))
+    samples = np.asarray(_modulate(cfg, payload), np.float32)
+    if seed % 2 == 1:
+        samples = samples + rng.uniform(
+            -0.2, 0.2, len(samples)).astype(np.float32)
+    s16 = np.clip(np.rint(samples * 32768.0), -32768,
+                  32767).astype(np.int16)
+    raw = _ulaw_encode(s16)
+
+    def run(x, enc=None):
+        sink, events = io.BytesIO(), []
+        rx = Receiver(cfg, RxOptions(), get_codec("ascii8"),
+                      sink.write, events.append)
+        rx.run(x, engine="device", in_encoding=enc)
+        return sink.getvalue(), "".join(events)
+
+    got_u8 = run(raw, "ulaw")
+    got_f = run(expand_u8(raw, "ulaw"))
+    # the invariant is WIRE parity: raw bytes expanded on device must
+    # decode exactly like the host-expanded floats.  (Payload equality
+    # is NOT asserted: G.711 is lossy, and a random near-Nyquist
+    # geometry can legitimately lose frames to quantization noise.)
+    assert got_u8 == got_f, (desc, got_u8[0][:40], got_f[0][:40])
+    if seed % 2 == 0:      # clean runs still demodulate a carrier
+        assert len(got_u8[0]) > 0, desc
