@@ -33,6 +33,23 @@ from ..config import ModemConfig
 from .sharding import make_mesh
 
 
+def _collect_compact_blocks(flat_dev, ev_dev, dp: int, b_pad: int,
+                            b: int):
+    """Unpack per-dp-shard compact result blocks (pack_compact_results
+    layout, one block per shard — streams d*Bl..(d+1)*Bl-1 live in
+    block d): one bulk transfer of the flat vectors, lazy event-log
+    slices for the rare >EV_CAP overflow."""
+    from ..ops.device_rx import _collect_compact
+
+    bl = b_pad // dp
+    flat_np = np.ascontiguousarray(np.asarray(flat_dev)).reshape(dp, -1)
+    events = []
+    for d in range(dp):
+        events.extend(_collect_compact(
+            (flat_np[d], ev_dev[:, d * bl:(d + 1) * bl, :]), bl))
+    return events[:b]
+
+
 class ShardedReceiver:
     """dp-sharded batched decode over a jax Mesh.
 
@@ -275,19 +292,8 @@ class ShardedReceiver:
         }
 
     def collect_compact_blocks(self, flat_dev, ev_dev, b_pad: int, b: int):
-        """Unpack per-dp-shard compact result blocks (see _fn_for): one
-        bulk transfer of the flat vectors, lazy event-log slices for the
-        rare >EV_CAP overflow."""
-        from ..ops.device_rx import _collect_compact
-
-        bl = b_pad // self.dp
-        flat_np = np.ascontiguousarray(np.asarray(flat_dev)).reshape(
-            self.dp, -1)
-        events = []
-        for d in range(self.dp):
-            events.extend(_collect_compact(
-                (flat_np[d], ev_dev[:, d * bl:(d + 1) * bl, :]), bl))
-        return events[:b]
+        return _collect_compact_blocks(flat_dev, ev_dev, self.dp,
+                                       b_pad, b)
 
     def decode_batch(self, streams, conf_threshold: float = 1.5,
                      conf_search_limit: float = 2.3,
@@ -424,16 +430,8 @@ class ShardedLoopback:
             np.float32(conf_threshold), np.float32(conf_search_limit),
             jax.device_put(zero_carry(b_pad_streams), shard))
         if compact:
-            bl = batch_local
-            from ..ops.device_rx import _collect_compact
-
-            flat_np = np.ascontiguousarray(np.asarray(out[0])).reshape(
-                self.dp, -1)
-            events = []
-            for d in range(self.dp):
-                events.extend(_collect_compact(
-                    (flat_np[d], out[1][:, d * bl:(d + 1) * bl, :]), bl))
-            return events[:b]
+            return _collect_compact_blocks(out[0], out[1], self.dp,
+                                           b_pad_streams, b)
         from ..ops.device_rx import _collect_results
 
         return _collect_results(out, b_pad_streams, False)[:b]
