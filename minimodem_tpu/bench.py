@@ -180,14 +180,10 @@ def batched_loopback_throughput(mode: str = "1200",
     each (DeviceLoopback.dispatch_events_chain): this harness pays
     ~25 ms of fixed per-execute cost per program, so chaining raises
     steady-state throughput; pipelining then overlaps across chains."""
-    import io
-
-    from .codecs import Ascii8Codec, get_codec
-    from .config import RxOptions
+    from .codecs import Ascii8Codec
     from .models.modem import FskModem
     from .ops.device_rx import DeviceLoopback
     from .ops.tx_device import tx_bit_schedule
-    from .rx.engine import Receiver
 
     m = FskModem(mode, sample_rate=sample_rate, precision=precision)
     base = _bench_payload(m.cfg, audio_seconds)
@@ -207,14 +203,7 @@ def batched_loopback_throughput(mode: str = "1200",
                  * m.cfg.bit_nsamples_tx / sample_rate)
 
     def render_ok(payloads, events) -> bool:
-        ok = True
-        for i, p in enumerate(payloads):
-            sink = io.BytesIO()
-            rx = Receiver(m.cfg, RxOptions(), get_codec("ascii8"),
-                          sink.write, lambda s: None)
-            rx.render_events(*events[i])
-            ok = ok and sink.getvalue() == p
-        return ok
+        return _render_ok(m.cfg, "ascii8", payloads, events)
 
     lb = DeviceLoopback(m.cfg, precision)
     events = lb.run_events_batch(sets[0][1])  # compile + correctness
@@ -248,7 +237,7 @@ def batched_loopback_throughput(mode: str = "1200",
                 lb.prefetch_events_chain(handles[g - 1])
             if g >= 2:
                 results_flat.extend(lb.collect_events_chain(handles[g - 2]))
-        for h in (handles[-2:] if ngroups >= 2 else handles):
+        for h in handles[-2:]:      # ngroups >= 2 (guarded above)
             results_flat.extend(lb.collect_events_chain(h))
         dt = time.perf_counter() - t0
         audio_sec = audio_one * pipeline
@@ -268,7 +257,7 @@ def batched_loopback_throughput(mode: str = "1200",
                 lb.prefetch_events_batch(handles[j - 1])
             if j >= 2:
                 results.append(lb.collect_events_batch(handles[j - 2]))
-        for h in handles[-2:] if pipeline >= 2 else handles[-1:]:
+        for h in handles[-2:]:      # pipeline >= 2 in this branch
             results.append(lb.collect_events_batch(h))
         dt = time.perf_counter() - t0
         audio_sec = audio_one * pipeline
@@ -297,17 +286,13 @@ def fleet_loopback_throughput(mode: str = "1200",
     the service layer's overhead vs the single-chip loopback (measured
     within ~3.5% on v5e); on a real fleet it is the per-chip number
     times the mesh."""
-    import io
-
     import jax
 
-    from .codecs import Ascii8Codec, get_codec
-    from .config import RxOptions
+    from .codecs import Ascii8Codec
     from .models.modem import FskModem
     from .ops.tx_device import tx_bit_schedule
     from .parallel.service import ShardedLoopback
     from .parallel.sharding import make_mesh
-    from .rx.engine import Receiver
 
     m = FskModem(mode, sample_rate=sample_rate, precision=precision)
     base = _bench_payload(m.cfg, audio_seconds)
@@ -321,13 +306,7 @@ def fleet_loopback_throughput(mode: str = "1200",
     mesh = make_mesh(n_dev, dp=n_dev, sp=1)
     flb = ShardedLoopback(m.cfg, mesh, precision)
     events = flb.run_events_batch(scheds)    # compile + correctness
-    ok = True
-    for i, p in enumerate(payloads):
-        sink = io.BytesIO()
-        rx = Receiver(m.cfg, RxOptions(), get_codec("ascii8"),
-                      sink.write, lambda s: None)
-        rx.render_events(*events[i])
-        ok = ok and sink.getvalue() == p
+    ok = _render_ok(m.cfg, "ascii8", payloads, events)
 
     t0 = time.perf_counter()
     flb.run_events_batch(scheds)
@@ -365,15 +344,11 @@ def mode_loopback_throughput(mode: str, audio_seconds: float = 15.0,
     framings ride the flat bit schedule, fractional stop bits (rtty 1.5
     / tdd 2.0) the frame-schedule synthesis path.  Returns the same row
     shape as batched_loopback_throughput."""
-    import io
-
     from .codecs import get_codec
-    from .config import RxOptions
     from .models.modem import FskModem
     from .ops.device_rx import DeviceLoopback
     from .ops.tx_device import (
         tx_bit_schedule, tx_frame_schedule, uniform_bits_supported)
-    from .rx.engine import Receiver
 
     m = FskModem(mode, sample_rate=sample_rate, precision=precision)
     base = _mode_payload(m, audio_seconds)
@@ -404,16 +379,7 @@ def mode_loopback_throughput(mode: str, audio_seconds: float = 15.0,
             fscheds, lead_trail)
 
     events = run()  # compile + correctness
-    ok = True
-    for i, p in enumerate(payloads):
-        sink = io.BytesIO()
-        kw = {"usos": True} if dec_name == "baudot" else {}
-        rx = Receiver(m.cfg, RxOptions(), get_codec(dec_name, **kw),
-                      sink.write, lambda s: None)
-        rx.render_events(*events[i])
-        got = sink.getvalue()
-        want = _expected_rendering(dec_name, p)
-        ok = ok and got == want
+    ok = _render_ok(m.cfg, dec_name, payloads, events)
 
     t0 = time.perf_counter()
     run()
@@ -426,6 +392,27 @@ def mode_loopback_throughput(mode: str, audio_seconds: float = 15.0,
         "real_time_factor": audio_sec / dt,
         "decode_exact": bool(ok),
     }
+
+
+def _render_ok(cfg, dec_name: str, payloads, events) -> bool:
+    """Render per-stream event tuples through the mode's decoder and
+    compare against the expected loopback output (the shared
+    decode-exact check every throughput row uses)."""
+    import io
+
+    from .codecs import get_codec
+    from .config import RxOptions
+    from .rx.engine import Receiver
+
+    ok = True
+    for i, p in enumerate(payloads):
+        sink = io.BytesIO()
+        kw = {"usos": True} if dec_name == "baudot" else {}
+        rx = Receiver(cfg, RxOptions(), get_codec(dec_name, **kw),
+                      sink.write, lambda s: None)
+        rx.render_events(*events[i])
+        ok = ok and sink.getvalue() == _expected_rendering(dec_name, p)
+    return ok
 
 
 def _expected_rendering(dec_name: str, payload: bytes) -> bytes:
@@ -464,14 +451,10 @@ def callerid_throughput(batch: int = 128, sample_rate: int = 48000,
     like the Bell-202 headline loop.  Reports steady-state throughput
     plus the two latency numbers a caller sees: one synchronous batched
     call (the fleet's arrival-to-result time) and a single-burst call."""
-    import io
-
-    from .codecs import Ascii8Codec, get_codec
-    from .config import RxOptions
+    from .codecs import Ascii8Codec
     from .models.modem import FskModem
     from .ops.device_rx import DeviceLoopback
     from .ops.tx_device import tx_bit_schedule
-    from .rx.engine import Receiver
 
     m = FskModem("callerid", sample_rate=sample_rate, precision=precision)
     pipeline = max(1, int(pipeline))
@@ -484,15 +467,7 @@ def callerid_throughput(batch: int = 128, sample_rate: int = 48000,
                  * m.cfg.bit_nsamples_tx / sample_rate)
 
     def render_ok(msgs, events) -> bool:
-        ok = True
-        for i, p in enumerate(msgs):
-            sink = io.BytesIO()
-            rx = Receiver(m.cfg, RxOptions(), get_codec("callerid"),
-                          sink.write, lambda s: None)
-            rx.render_events(*events[i])
-            ok = ok and sink.getvalue() == _expected_rendering(
-                "callerid", p)
-        return ok
+        return _render_ok(m.cfg, "callerid", msgs, events)
 
     lb = DeviceLoopback(m.cfg, precision)
     events = lb.run_events_batch(sets[0][1])   # compile + correctness
@@ -521,7 +496,7 @@ def callerid_throughput(batch: int = 128, sample_rate: int = 48000,
                 lb.prefetch_events_batch(handles[j - 1])
             if j >= 2:
                 results.append(lb.collect_events_batch(handles[j - 2]))
-        for h in handles[-2:] if pipeline >= 2 else handles[-1:]:
+        for h in handles[-2:]:      # pipeline >= 2 in this branch
             results.append(lb.collect_events_batch(h))
         dt = time.perf_counter() - t0
         audio_sec = audio_one * pipeline

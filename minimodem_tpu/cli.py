@@ -152,6 +152,22 @@ def _presplit_optional_args(argv: list) -> list:
     never consumes the following word (GNU `optional_argument`
     semantics)."""
     bare_long = {lo: lo + "=" for lo in _OPT_OPTARG.values()}
+    # long options with a REQUIRED argument: when given as a separate
+    # word (`--file x`), GNU getopt_long binds the next argv element
+    # verbatim — even one that looks like `-Adev.wav` — so the
+    # pre-splitter must skip over it, not rewrite it
+    reqarg_long = {"--" + lo[:-1] for lo in _LONG_OPTS
+                   if lo.endswith("=")} - set(_OPT_OPTARG.values())
+
+    def _long_match(tok: str):
+        """Unambiguous long-option match (getopt prefix semantics) for
+        a bare `--name` token, else None."""
+        if not tok.startswith("--") or "=" in tok or tok == "--":
+            return None
+        full = [lo for lo in ("--" + x.rstrip("=") for x in _LONG_OPTS)
+                if lo.startswith(tok)]
+        return full[0] if len(full) == 1 else None
+
     out = []
     i, n = 0, len(argv)
     while i < n:
@@ -159,9 +175,16 @@ def _presplit_optional_args(argv: list) -> list:
         if a == "--":
             out.extend(argv[i:])
             return out
-        if a in bare_long:
-            out.append(bare_long[a])
+        m = _long_match(a)
+        if m in bare_long:
+            # bare (possibly abbreviated) optional-arg long form: GNU
+            # optional_argument never consumes the following word
+            out.append(bare_long[m])
             i += 1
+            continue
+        if m in reqarg_long and i + 1 < n:
+            out.extend(argv[i:i + 2])   # long opt + its verbatim arg
+            i += 2
             continue
         if len(a) < 2 or a[0] != "-" or a[1] == "-":
             out.append(a)

@@ -178,13 +178,35 @@ def normalize_input(x, input_dtype: str):
 U8_ENCODINGS = ("ulaw", "alaw", "pcm8")
 
 # pad/fill byte per encoding: the scan window's deepest score reads up
-# to ~try_max samples PAST a stream's total, so buffer padding must
-# expand to silence like the float path's zero fill.  u-law 0xFF and
-# PCM8 0x80 decode to exactly 0.0; A-law has no zero codeword — 0xD5
-# decodes to +8 (2.4e-4), i.e. "A-law silence", the same LSB floor a
-# real A-law recording of silence carries (drift class: ~1 ulp of an
-# O(1) confidence, same as the fused scorer's accepted lowering drift)
+# to ~try_max samples PAST a stream's total, so buffers need SOME valid
+# codeword there.  u-law 0xFF and PCM8 0x80 decode to exactly 0.0;
+# A-law has no zero codeword (0xD5 decodes to +8) — so the receivers
+# additionally mask expanded u8 wires to exact 0.0 past each stream's
+# total (expand_wire below), making the pad value decision-irrelevant
+# and every u8 wire decode bit-identical to the host float path's
+# zero fill (reference zero-refill: src/minimodem.c:1166-1174)
 PAD_BYTE = {"ulaw": 0xFF, "alaw": 0xD5, "pcm8": 0x80}
+
+
+def expand_wire(x, total, input_dtype, extra: int = 0):
+    """Expand a raw-u8 wire buffer [B, T] on device and zero every
+    position >= the stream's real-sample end (total + extra).
+
+    G.711 A-law has no exact-zero codeword, so pad bytes past
+    end-of-stream would otherwise expand to +-8/32768 DC where the
+    float path (and the host engine's samplebuf refill,
+    src/minimodem.c:1166-1174) holds exact zeros — trailing-frame
+    confidences would drift between engines.  The mask restores
+    decision-exact parity for all three u8 encodings.
+
+    extra: static count of REAL samples past `total` (segmented decode
+    feeds lookahead beyond the scan bound — PipelinedReceiver — which
+    must not be clipped); 0 for one-shot calls, where `total` IS the
+    end of real data."""
+    v = normalize_input(x, input_dtype)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    bound = total + np.int32(extra) if extra else total
+    return jnp.where(idx < bound[:, None], v, jnp.float32(0.0))
 
 
 def alloc_wire(shape, samples_dtype, in_encoding: str = None):
@@ -337,7 +359,8 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                      finalize: bool = True,
                      compact: bool = False,
                      packed_input: bool = False,
-                     stop_on_overflow: bool = False):
+                     stop_on_overflow: bool = False,
+                     u8_extra: int = 0):
     """Compile the full device receiver for a fixed scored length
     t_total (>= stream length in samples).
 
@@ -429,8 +452,13 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
                   and len(geom[1]["coarse"]) > 0
                   and geom[1]["coarse"][0] == overscan)
 
+    # u8 wires expand + tail-mask to float32 in the receiver itself
+    # (expand_wire) so the packer sees the same zeros-past-total the
+    # host float path guarantees
+    pk_dtype = ("float32" if input_dtype in U8_ENCODINGS
+                else input_dtype)
     score_arrays = (None if packed_input
-                    else make_score_packer(cfg_key, t_total, input_dtype))
+                    else make_score_packer(cfg_key, t_total, pk_dtype))
 
     # ------------------------------------------------------------------
     def receiver(x, total, conf_threshold, conf_search_limit, carry):
@@ -455,6 +483,8 @@ def _build_device_rx(cfg_key, t_total: int, rx_one: bool,
             packed = x.reshape(B * 8, -1)
         else:
             B = x.shape[0]
+            if input_dtype in U8_ENCODINGS:
+                x = expand_wire(x, total, input_dtype, u8_extra)
             packed = jax.vmap(score_arrays)(x).reshape(B * 8, -1)
         brange = jnp.arange(B)
         row0 = (brange * 8).astype(jnp.int32)
@@ -1268,9 +1298,13 @@ class DeviceLoopback:
 
     def prefetch_events_chain(self, handle):
         """Async device->host copy kick for a dispatched chain (same
-        contract as prefetch_events_batch)."""
+        contract as prefetch_events_batch).  Wide chains prefetch only
+        the small n array — collect_events_chain transfers the event
+        log as a device-sliced prefix, so kicking a copy of the full
+        [K, 8, batch, max_events] log would ship hundreds of MB the
+        collect then ignores."""
         out, K, batch, compact = handle
-        leaves = (out[0],) if compact else tuple(out)
+        leaves = (out[0],) if compact else (out[1],)
         for x in leaves:
             fn = getattr(x, "copy_to_host_async", None)
             if fn is not None:
@@ -1482,6 +1516,11 @@ class PipelinedReceiver:
 
         in_dtype = wire_dtype(samples, in_encoding)
         total_nf = self.segment_len - self._lookahead + self.cfg.expect_nsamples
+        # non-final segments carry REAL lookahead samples past the scan
+        # bound `total_nf` (up to segment_len); u8 wires must not
+        # tail-mask them away (expand_wire's `extra`)
+        u8x = (max(0, self.segment_len - total_nf)
+               if in_dtype in U8_ENCODINGS else 0)
         t_total = _round_up_pow2(total_nf + self.cfg.nsamples_overscan + 1)
         thr = np.float32(conf_threshold)
         lim = np.float32(conf_search_limit)
@@ -1506,7 +1545,7 @@ class PipelinedReceiver:
             from .pallas_rx import MegaReceiver, _mega_run_fn
 
             fn_m, _, t_x = _mega_run_fn(self.key, t_total, 1, self.rx_one,
-                                        in_dtype, False)
+                                        in_dtype, False, u8_extra=u8x)
             fn_f_m, _, t_x_f = _mega_run_fn(self.key, t_total_f, 1,
                                             self.rx_one, in_dtype, True)
             thr2 = np.asarray([conf_threshold, conf_search_limit],
@@ -1536,7 +1575,7 @@ class PipelinedReceiver:
             t_x, t_x_f = t_total, t_total_f
             fn, _, _ = _build_device_rx(
                 self.key, t_total, self.rx_one, in_dtype, False,
-                self.compact)
+                self.compact, u8_extra=u8x)
             fn_final, _, _ = _build_device_rx(
                 self.key, t_total_f, self.rx_one, in_dtype, True,
                 self.compact)

@@ -1202,7 +1202,8 @@ def mega_supported(cfg_key) -> bool:
 
 @functools.lru_cache(maxsize=32)
 def _mega_run_fn(cfg_key, t_total: int, batch: int, rx_one: bool,
-                 input_dtype: str, finalize: bool = True):
+                 input_dtype: str, finalize: bool = True,
+                 u8_extra: int = 0):
     """Global cache of the packer+megakernel program, so fresh receiver
     objects (one per decode call in the CLI) reuse traces and
     executables.  Returns (fn, max_events, t_score): callers must feed
@@ -1211,15 +1212,22 @@ def _mega_run_fn(cfg_key, t_total: int, batch: int, rx_one: bool,
     import jax
 
     from ..utils.aot import jit_mosaic
-    from .device_rx import make_score_packer_planes
+    from .device_rx import (U8_ENCODINGS, expand_wire,
+                            make_score_packer_planes)
 
     t_score = mega_score_len(cfg_key, t_total)
+    # u8 wires expand + tail-mask before the packer (expand_wire): the
+    # pad codeword past each stream's total becomes exact 0.0, matching
+    # the host float path (A-law has no zero codeword)
+    pk_dtype = "float32" if input_dtype in U8_ENCODINGS else input_dtype
     packer, n_ch, _ = make_score_packer_planes(cfg_key, t_score,
-                                               input_dtype)
+                                               pk_dtype)
     kern, max_events, e_pad = build_mega_rx(cfg_key, t_total, rx_one,
                                             batch, finalize)
 
     def run(x, totals, thr2, carry_i, carry_f):
+        if input_dtype in U8_ENCODINGS:
+            x = expand_wire(x, totals, input_dtype, u8_extra)
         packed = jax.vmap(packer)(x).reshape(batch * n_ch, t_score)
         return kern(packed, totals, thr2, carry_i, carry_f)
 

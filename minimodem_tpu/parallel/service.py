@@ -111,7 +111,7 @@ class ShardedReceiver:
             # compute — the state machine is sequential over time and
             # carries ~1% of the work; scoring is where the FLOPs are)
             from ..ops.device_rx import (
-                geo_from_key, make_score_packer)
+                U8_ENCODINGS, geo_from_key, make_score_packer)
 
             assert t_total % sp == 0, (t_total, sp)
             t_local = t_total // sp
@@ -120,7 +120,11 @@ class ShardedReceiver:
                 raise ValueError(
                     f"halo ({geo.halo}) exceeds t_total/sp ({t_local}); "
                     "use fewer sp shards for this geometry")
-            packer = make_score_packer(self.key, t_local, in_dtype)
+            # u8 wires expand + tail-mask inside local_fn (expand_wire
+            # with shard-absolute positions), so the packer sees float32
+            pk_dtype = ("float32" if in_dtype in U8_ENCODINGS
+                        else in_dtype)
+            packer = make_score_packer(self.key, t_local, pk_dtype)
             halo = geo.halo
             # single-expect narrow geometries carry only 3 distinct
             # channels (conf_sync/ampl_sync alias the data rows, bits_hi
@@ -153,6 +157,20 @@ class ShardedReceiver:
                                       jnp.full_like(left_halo, silence),
                                       left_halo)
                 x_ext = jnp.concatenate([x, left_halo], axis=1)
+                if in_dtype in U8_ENCODINGS:
+                    # expand + zero past each stream's total in
+                    # shard-absolute positions (x_ext is contiguous:
+                    # column j holds global sample rank*t_local + j),
+                    # matching the float path's exact-zero fill — A-law
+                    # has no zero codeword (ops/device_rx.expand_wire)
+                    from ..ops.device_rx import normalize_input
+
+                    rank = jax.lax.axis_index("sp")
+                    idx = (rank * t_local
+                           + jnp.arange(x_ext.shape[1]))[None, :]
+                    v = normalize_input(x_ext, in_dtype)
+                    x_ext = jnp.where(idx < totals[:, None], v,
+                                      jnp.float32(0.0))
                 packed_local = jax.vmap(packer)(x_ext)  # [Bl, 8, t_local]
                 if slim:
                     sel = packed_local[:, (0, 2, 4), :]  # cd, ad, bits_lo

@@ -55,6 +55,8 @@ def build_variant(geo_key, n_tiles, batch, t_tile, variant):
     prec = (jax.lax.Precision.DEFAULT if variant == "mmdef"
             else jax.lax.Precision.HIGHEST)
 
+    tapshare = variant in ("tapshare", "tapsharerelu")
+
     def kernel(*refs):
         w_ref = refs[0]
         x_refs = refs[1:1 + n_blocks]
@@ -62,6 +64,7 @@ def build_variant(geo_key, n_tiles, batch, t_tile, variant):
         x2_sc = refs[2 + n_blocks]
         pss = refs[3 + n_blocks]
         png = refs[4 + n_blocks]
+        ts = refs[5 + n_blocks] if tapshare else None
 
         x_full = jnp.concatenate([r[0] for r in x_refs], axis=0)
         if variant == "noim":
@@ -112,6 +115,12 @@ def build_variant(geo_key, n_tiles, batch, t_tile, variant):
         for k in range(n_bits):
             s0 = int(bit_begin[k])
             ssk = shift_ss(s0)
+            if tapshare:
+                # pass 1 pays the unaligned tap read ONCE and parks it
+                # 128-aligned; pass 2 re-reads it with plain aligned
+                # loads (p2align attributed ~16 ms to the unaligned
+                # slices)
+                ts[:, k * 128:(k + 1) * 128] = ssk
             ngk = png[:, s0:s0 + 128]
             sbk = jnp.abs(ssk)
             bbk = (ssk > 0).astype(jnp.int32)
@@ -229,6 +238,26 @@ def build_variant(geo_key, n_tiles, batch, t_tile, variant):
                 R_m = R_m + jnp.maximum(ssk - avg_mark, zero)
                 R_s = R_s - jnp.minimum(ssk + avg_space, zero)
             divergence = jnp.float32(2.0) * (R_m * rm + R_s * rs)
+        elif variant == "tapshare":
+            divergence = zf
+            for k in range(n_bits):
+                ssk = ts[:, k * 128:(k + 1) * 128]
+                sbk = jnp.abs(ssk)
+                avg_own = jnp.where(ssk > 0, avg_mark, avg_space)
+                divergence = divergence + jnp.abs(sbk - avg_own) / avg_own
+        elif variant == "tapsharerelu":
+            # aligned re-reads + the telescoped relu arithmetic
+            rm = jnp.where(avg_mark > 0,
+                           jnp.float32(1.0) / avg_mark, zero)
+            rs = jnp.where(avg_space > 0,
+                           jnp.float32(1.0) / avg_space, zero)
+            R_m = zf
+            R_s = zf
+            for k in range(n_bits):
+                ssk = ts[:, k * 128:(k + 1) * 128]
+                R_m = R_m + jnp.maximum(ssk - avg_mark, zero)
+                R_s = R_s - jnp.minimum(ssk + avg_space, zero)
+            divergence = jnp.float32(2.0) * (R_m * rm + R_s * rs)
         elif variant == "nodiv":
             acc_m = zf
             acc_s = zf
@@ -278,7 +307,8 @@ def build_variant(geo_key, n_tiles, batch, t_tile, variant):
             pltpu.VMEM((r_corr, kdim), jnp.float32),
             pltpu.VMEM((r_out, ov * 128), jnp.float32),
             pltpu.VMEM((r_out, ov * 128), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((r_out, n_bits * 128), jnp.float32)]
+             if tapshare else []),
     )
     w_np = make_banded_w(
         np.frombuffer(basis_bytes, np.float32).reshape(4, nb).copy())

@@ -34,7 +34,6 @@ def _cid_roundtrip(tmp_wav, payload: bytes, golden: bytes):
 
 
 @pytest.mark.smoke
-@pytest.mark.smoke
 def test_callerid_mdmf(tmp_wav):
     _cid_roundtrip(tmp_wav, MDMF_BYTES, MDMF_GOLDEN)
 

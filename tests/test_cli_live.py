@@ -56,6 +56,22 @@ def test_presplit_required_arg_wins():
     assert _presplit_optional_args(["-v", "-s"]) == ["-v", "-s"]
 
 
+def test_presplit_long_required_arg_wins():
+    # a long option with a required argument binds the NEXT word
+    # verbatim (GNU getopt_long), even one shaped like -A<dev> — and
+    # unambiguous abbreviations follow the same rules
+    assert _presplit_optional_args(["--file", "-Adev.wav", "1200"]) == \
+        ["--file", "-Adev.wav", "1200"]
+    assert _presplit_optional_args(["--fil", "-sx"]) == ["--fil", "-sx"]
+    assert _presplit_optional_args(["--volume", "-A"]) == \
+        ["--volume", "-A"]
+    # abbreviated bare optional-arg long never consumes the next word
+    assert _presplit_optional_args(["--als", "300"]) == ["--alsa=", "300"]
+    # flag-only longs don't shield the next word
+    assert _presplit_optional_args(["--quiet", "-Adev"]) == \
+        ["--quiet", "--alsa=dev"]
+
+
 def test_presplit_stops_at_double_dash():
     assert _presplit_optional_args(["--", "-Adev"]) == ["--", "-Adev"]
     assert _presplit_optional_args(["--alsa=x", "-Ay"]) == \

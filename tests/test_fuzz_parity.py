@@ -89,12 +89,16 @@ def test_fuzz_engine_parity(seed):
         assert results["host"][0] == payload, desc
 
 
+@pytest.mark.parametrize("enc", ["ulaw", "alaw", "pcm8"])
 @pytest.mark.parametrize("seed", range(4))
-def test_fuzz_u8_wire_parity(seed):
-    """Raw u-law wire decode (device-side G.711 expansion) must equal
+def test_fuzz_u8_wire_parity(seed, enc):
+    """Raw u8 wire decode (device-side G.711/PCM8 expansion) must equal
     the host-expanded float decode across random geometries — bytes AND
-    event lines, clean and noisy-quantized."""
-    from minimodem_tpu.sigio.containers import _ulaw_encode, expand_u8
+    event lines, clean and noisy-quantized.  A-law is the hard case: it
+    has no exact-zero codeword, so parity past end-of-stream depends on
+    the receiver's expand_wire tail mask (ops/device_rx.py)."""
+    from minimodem_tpu.sigio.containers import (
+        _alaw_encode, _ulaw_encode, expand_u8)
 
     rng = np.random.default_rng(7000 + seed)
     cfg, desc = _random_cfg(rng)
@@ -106,17 +110,22 @@ def test_fuzz_u8_wire_parity(seed):
             -0.2, 0.2, len(samples)).astype(np.float32)
     s16 = np.clip(np.rint(samples * 32768.0), -32768,
                   32767).astype(np.int16)
-    raw = _ulaw_encode(s16)
+    if enc == "ulaw":
+        raw = _ulaw_encode(s16)
+    elif enc == "alaw":
+        raw = _alaw_encode(s16)
+    else:
+        raw = ((s16.astype(np.int32) >> 8) + 128).astype(np.uint8)
 
-    def run(x, enc=None):
+    def run(x, e=None):
         sink, events = io.BytesIO(), []
         rx = Receiver(cfg, RxOptions(), get_codec("ascii8"),
                       sink.write, events.append)
-        rx.run(x, engine="device", in_encoding=enc)
+        rx.run(x, engine="device", in_encoding=e)
         return sink.getvalue(), "".join(events)
 
-    got_u8 = run(raw, "ulaw")
-    got_f = run(expand_u8(raw, "ulaw"))
+    got_u8 = run(raw, enc)
+    got_f = run(expand_u8(raw, enc))
     # the invariant is WIRE parity: raw bytes expanded on device must
     # decode exactly like the host-expanded floats.  (Payload equality
     # is NOT asserted: G.711 is lossy, and a random near-Nyquist

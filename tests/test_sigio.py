@@ -16,7 +16,6 @@ def _write(path, fmt, data, rate=48000):
 
 
 @pytest.mark.smoke
-@pytest.mark.smoke
 @pytest.mark.parametrize("ext", ["wav", "au", "raw"])
 @pytest.mark.parametrize("fmt", [SampleFormat.S16, SampleFormat.FLOAT])
 def test_container_roundtrip(tmp_path, ext, fmt):

@@ -80,9 +80,11 @@ def _ulaw_wav(path: str, samples_f32: np.ndarray) -> None:
 
 
 def test_pad_bytes_decode_to_silence():
-    """Wire-buffer padding must expand to silence like the float path's
-    zero fill (the scan window reads past a stream's total): u-law 0xFF
-    and PCM8 0x80 are exact zeros; A-law's best is +-8 LSB."""
+    """Wire-buffer pad codewords are near-silence (u-law 0xFF and PCM8
+    0x80 exact zeros; A-law's best is +-8 LSB) — and decision-exactness
+    past a stream's total comes from the receivers' expand_wire tail
+    mask, which zeroes every expanded sample >= total regardless of the
+    pad value (see test_fuzz_parity.test_fuzz_u8_wire_parity[alaw])."""
     from minimodem_tpu.ops.device_rx import PAD_BYTE, alloc_wire
 
     for enc in ("ulaw", "pcm8"):
@@ -95,14 +97,18 @@ def test_pad_bytes_decode_to_silence():
     assert set(PAD_BYTE) == {"ulaw", "alaw", "pcm8"}
 
 
-@pytest.mark.parametrize("dp,sp", [(4, 1), (2, 2)])
-def test_sharded_service_u8_ingest(dp, sp):
-    """ShardedReceiver decodes raw u-law wire bytes on the virtual mesh
-    to the same events as the float batch — including sp>1, where the
-    last shard's halo must fill with the u-law silence codeword."""
+@pytest.mark.parametrize("dp,sp,enc", [(4, 1, "ulaw"), (2, 2, "ulaw"),
+                                       (2, 2, "alaw")])
+def test_sharded_service_u8_ingest(dp, sp, enc):
+    """ShardedReceiver decodes raw u8 wire bytes on the virtual mesh
+    to the same events as the float batch — including sp>1 (halo
+    ppermute on the u8 wire) and A-law, whose padding past each
+    stream's total has no zero codeword and relies on the shard-local
+    tail mask."""
     import jax
     import pytest as _pytest
 
+    from minimodem_tpu.ops.device_rx import PAD_BYTE
     from minimodem_tpu.parallel.service import ShardedReceiver
     from minimodem_tpu.parallel.sharding import make_mesh
 
@@ -111,14 +117,15 @@ def test_sharded_service_u8_ingest(dp, sp):
     mesh = make_mesh(dp * sp, dp=dp, sp=sp)
     m = FskModem("1200")
     texts = [b"fleet ulaw zero", b"fu1!", b"fleet ulaw two"]
+    enc_fn = _ulaw_encode if enc == "ulaw" else _alaw_encode
     streams, raws = [], []
     for t in texts:
         w = m.modulate(t)
         s16 = np.clip(np.rint(w * 32768.0), -32768, 32767).astype(np.int16)
-        raws.append(_ulaw_encode(s16))
-        streams.append(expand_u8(raws[-1], "ulaw"))
+        raws.append(enc_fn(s16))
+        streams.append(expand_u8(raws[-1], enc))
     L = max(len(r) for r in raws)
-    xr = np.full((len(raws), L), 0xFF, np.uint8)     # u-law silence pad
+    xr = np.full((len(raws), L), PAD_BYTE[enc], np.uint8)
     xf = np.zeros((len(raws), L), np.float32)
     for i, (r, s) in enumerate(zip(raws, streams)):
         xr[i, :len(r)] = r
@@ -127,7 +134,7 @@ def test_sharded_service_u8_ingest(dp, sp):
 
     svc = ShardedReceiver(m.cfg, mesh)
     ev_u8, stats_u8 = svc.run_events_batch(xr, totals, 1.5, 2.3,
-                                           in_encoding="ulaw")
+                                           in_encoding=enc)
     ev_f, stats_f = svc.run_events_batch(xf, totals, 1.5, 2.3)
     assert stats_u8 == stats_f
     for tu, tf in zip(ev_u8, ev_f):
