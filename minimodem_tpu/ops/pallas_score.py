@@ -61,7 +61,10 @@ T_TILE = T_TILES[-1]                  # granularity the score length needs
 # products, f32 accumulation), gated at n_bits <= 24 so the bit weights
 # stay inside f32's exact-integer range.  Measured on v5e (64 x 60 s
 # Bell202): scorer 107.3 -> 94.8 ms wall (pass 1 was ~20 ms of VPU
-# shifted adds).  MINIMODEM_TPU_MXP1=0 restores the VPU pass.
+# shifted adds).  Round 4: the float slabs ride 3 single-pass bf16
+# matmuls each (manual exact A-side split — the weights are exactly
+# bf16, so HIGHEST's other 3 passes multiplied zeros), chained scorer
+# 68.3 -> 58.2 ms device.  MINIMODEM_TPU_MXP1=0 restores the VPU pass.
 MXP1_MAX_BITS = 24
 
 
@@ -88,7 +91,7 @@ def _mxp1_fits(nb: int, max_begin: int, t_tile: int) -> bool:
     ovk = ov * 128
     total = (
         kdim * 512 * 4                 # banded W block
-        + ovk * 512 * 4                # wc + wb comb weights
+        + ovk * 512 * 2                # wc + wb comb weights (bf16)
         + 2 * n_blocks * r_out * 128 * 4   # double-buffered inputs
         + 2 * 4 * r_out * 128 * 4      # double-buffered out (planes)
         + r_corr * kdim * 4            # im2col scratch
@@ -246,23 +249,53 @@ def _build(geo_key, n_tiles: int, batch: int, t_tile: int,
             # ---- pass 1 on the MXU: comb sums over the slabs ----
             # total_sig = 2*mark_sig - sum_ss (|x| = 2*max(x,0) - x);
             # integer stats from the 0/1 indicator slab are exact in
-            # bf16 passes (0/1 x {0, +-1, 2^k}, f32 accumulation)
-            hi = jax.lax.Precision.HIGHEST
+            # bf16 passes (0/1 x {0, +-1, 2^k}, f32 accumulation).
+            #
+            # The comb weights are EXACTLY bf16-representable, so the
+            # f32-grade product only needs the A-side decomposed:
+            # a = a0+a1+a2 with each part exactly bf16 (3 x 8 mantissa
+            # bits cover f32's 24; the two splitting subtractions are
+            # Sterbenz-exact).  Three single-pass bf16 matmuls then
+            # produce the same nonzero partial products HIGHEST's six
+            # passes would (w's tail parts are zero) at half the MXU
+            # time — measured mxp1 ~16 -> ~8 ms on the 64 x 60 s
+            # Bell202 batch, bit-identical partials.
+            prec = jax.lax.Precision.DEFAULT
+
+            def split3(a):
+                a0 = a.astype(jnp.bfloat16)
+                r1 = a - a0.astype(jnp.float32)
+                a1 = r1.astype(jnp.bfloat16)
+                a2 = (r1 - a1.astype(jnp.float32)).astype(jnp.bfloat16)
+                return a0, a1, a2
+
+            def dot3(a, w):
+                p0, p1, p2 = split3(a)
+                out = jnp.dot(p0, w, preferred_element_type=jnp.float32,
+                              precision=prec)
+                out = out + jnp.dot(p1, w,
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)
+                return out + jnp.dot(p2, w,
+                                     preferred_element_type=jnp.float32,
+                                     precision=prec)
+
+            wcv = wc_ref[...]
             pm = jnp.maximum(pss[...], jnp.float32(0.0))
+            # mask select in f32, then cast: mosaic rejects an i1-mask
+            # select straight into bf16 ((8,128) mask vs (16,128) vreg)
             bb2 = jnp.where(pss[...] > 0, jnp.float32(1.0),
-                            jnp.float32(0.0))
-            sum_ss = jnp.dot(pss[...], wc_ref[...],
-                             preferred_element_type=jnp.float32,
-                             precision=hi)
-            mark_sig = jnp.dot(pm, wc_ref[...],
-                               preferred_element_type=jnp.float32,
-                               precision=hi)
-            total_noise = jnp.dot(png[...], wc_ref[...],
-                                  preferred_element_type=jnp.float32,
-                                  precision=hi)
+                            jnp.float32(0.0)).astype(jnp.bfloat16)
+            # (a mask-scaled single-split variant — exact bf16 parts of
+            # relu/min via 0/1 muls, dropping the sum_ss matmul — was
+            # measured neutral: packer 59.0 vs 58.2 ms; keep the plain
+            # three-split form)
+            sum_ss = dot3(pss[...], wcv)
+            mark_sig = dot3(pm, wcv)
+            total_noise = dot3(png[...], wcv)
             d4 = jnp.dot(bb2, wb_ref[...],
                          preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.DEFAULT)
+                         precision=prec)
             n_mark = d4[:, 0:128]
             mism_f = jnp.float32(n_req1) + d4[:, 128:256]
             bits_lo = d4[:, 256:384].astype(jnp.int32)
@@ -416,7 +449,11 @@ def _make_packer(geo_key, t_total: int, planes: bool = False):
     assert t_tile is not None, (nb, t_total)
     n_tiles = t_total // t_tile
     n_ch = plane_rows(n_bits, req_data, req_sync)[0] if planes else 8
+    # distinct tap offsets keep every wb entry a single exact-bf16
+    # 0/+-1/2^k value (duplicate offsets would sum packing weights into
+    # non-representable 2^a + 2^b entries)
     mxp1 = (planes and n_bits <= MXP1_MAX_BITS and _mxp1_on()
+            and len(set(bit_begin)) == n_bits
             and _mxp1_fits(nb, max(bit_begin), t_tile))
     extra_np = []
     if mxp1:
@@ -447,7 +484,7 @@ def _make_packer(geo_key, t_total: int, planes: bool = False):
         x3 = x2d.reshape(B, n_rows_in, 128)
         with jax.enable_x64(False):
             out = fn(jnp.asarray(w_np),
-                     *[jnp.asarray(w) for w in extra_np],
+                     *[jnp.asarray(w, jnp.bfloat16) for w in extra_np],
                      *([x3] * n_blocks))
         return out.reshape(B, n_ch, n_tiles * t_tile)
 

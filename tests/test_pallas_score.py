@@ -93,6 +93,52 @@ def test_fused_packer_parity(interp, monkeypatch):
         np.testing.assert_allclose(o[fin], r[fin], rtol=2e-6, atol=1e-5)
 
 
+def test_fused_packer_planes_mxp1_parity(interp, monkeypatch):
+    """Planes (v3) layout with pass 1 on the MXU vs both the XLA packer
+    and the VPU pass-1 planes build: bit channel exact, conf/ampl at
+    float32-rounding agreement, NaN class preserved (zero-tail offsets
+    score 0/0)."""
+    import jax.numpy as jnp
+
+    from minimodem_tpu.ops import device_rx as D
+    from minimodem_tpu.ops import pallas_score as PS
+
+    m = FskModem("1200")
+    key = D.device_rx_key(m.cfg, "auto")
+    geo = D.geo_from_key(key)
+    t_total = PS.T_TILE
+    n_ch, rows = PS.plane_rows(geo.n_bits, geo.req_data, geo.req_sync)
+    assert n_ch == 4, "Bell202 uses the 4-row common layout"
+
+    wav = m.modulate(b"planes mxp1 parity \x00\xff")
+    x = np.zeros(t_total + geo.halo, np.float32)
+    x[:min(len(wav), x.size)] = wav[:x.size]
+    xj = jnp.asarray(x)
+    ref = _ref_packed(key, t_total, xj, monkeypatch)
+    basis = D.make_basis(geo, np.float32)
+
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("MINIMODEM_TPU_MXP1", flag)
+        PS._build.cache_clear()
+        PS._make_packer.cache_clear()
+        fused = PS.make_fused_packer(geo, basis, t_total, planes=True)
+        outs[flag] = np.asarray(fused(xj))
+
+    for flag, out in outs.items():
+        assert out.shape == (4, t_total)
+        np.testing.assert_array_equal(out[rows["bl"]], ref[4],
+                                      err_msg=f"MXP1={flag}")
+        for prow, vref in ((rows["cd"], ref[0]), (rows["ad"], ref[2])):
+            r = vref.view(np.float32)
+            o = out[prow].view(np.float32)
+            assert np.array_equal(np.isnan(r), np.isnan(o)), flag
+            assert np.array_equal(np.isposinf(r), np.isposinf(o)), flag
+            fin = np.isfinite(r)
+            np.testing.assert_allclose(o[fin], r[fin], rtol=2e-6,
+                                       atol=1e-5, err_msg=f"MXP1={flag}")
+
+
 def test_fused_packer_vmap(interp):
     import jax
     import jax.numpy as jnp
