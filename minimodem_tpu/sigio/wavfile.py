@@ -10,9 +10,10 @@ Containers (selected by filename extension on write, by magic on read,
 mirroring the reference's extension table at
 src/simpleaudio-sndfile.c:111-157):
 - .wav  : RIFF/WAVE; writes PCM16/24/32 (pcm_bits) or IEEE-float32, reads
-          PCM8/16/24/32, float32/64, EXTENSIBLE, G.711 u-law/A-law, and
-          IMA/DVI ADPCM (the reference accepts any libsndfile-readable
-          subformat via sf_readf_float, src/simpleaudio-sndfile.c:46-70)
+          PCM8/16/24/32, float32/64, EXTENSIBLE, G.711 u-law/A-law,
+          IMA/DVI ADPCM, and Microsoft ADPCM (the reference accepts any
+          libsndfile-readable subformat via sf_readf_float,
+          src/simpleaudio-sndfile.c:46-70)
 - .flac : reads via the native decoder (native/flacdec.cpp), writes via
           the deterministic encoder (sigio/flacenc.py)
 - .ogg  : Vorbis via the runtime-loaded Xiph libraries
@@ -37,6 +38,7 @@ import numpy as np
 from . import Direction, SampleFormat, Stream
 
 _WAVE_FORMAT_PCM = 1
+_WAVE_FORMAT_MS_ADPCM = 2
 _WAVE_FORMAT_IEEE_FLOAT = 3
 _WAVE_FORMAT_ALAW = 6
 _WAVE_FORMAT_MULAW = 7
@@ -117,6 +119,72 @@ def _ima_decode(data: bytes, block_align: int, channels: int,
         idx = np.clip(idx + _IMA_INDEX_ADJUST[bc], 0, 88)
         out[:, :, k + 1] = cur.astype(np.int16)
     # interleave channels per frame: [nblocks, nsamp, ch] -> flat
+    return out.transpose(0, 2, 1).reshape(-1)
+
+
+# ---- Microsoft ADPCM (WAV format tag 0x02) ------------------------------
+# adaptation table + default coefficient sets per the WAVE_FORMAT_ADPCM
+# spec; decode semantics mirror libsndfile's ms_adpcm.c (the reference's
+# file layer decodes these transparently through sf_readf_float,
+# src/simpleaudio-sndfile.c:46-70)
+_MS_ADAPT = np.array([230, 230, 230, 230, 307, 409, 512, 614,
+                      768, 614, 512, 409, 307, 230, 230, 230], np.int32)
+_MS_COEF_DEFAULT = ((256, 0), (512, -256), (0, 0), (192, 64),
+                    (240, 0), (460, -208), (392, -232))
+
+
+def _ms_decode(data: bytes, block_align: int, channels: int,
+               samples_per_block: int, coefs) -> np.ndarray:
+    """Decode MS ADPCM blocks -> interleaved int16 frames.
+
+    Block layout: per channel a u8 coefficient-set index, then per
+    channel int16 LE idelta, sample1, sample2 (sample2 is the OLDER
+    sample and is emitted first); then 4-bit codes high-nibble-first,
+    cycling channels per nibble.  predictor = (s1*c1 + s2*c2) >> 8 +
+    signed4(code)*delta; delta = max((adapt[code]*delta) >> 8, 16).
+    Vectorized across blocks (the code chain is sequential within a
+    block, independent between blocks)."""
+    nch = channels
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        return np.zeros(0, np.int16)
+    raw = np.frombuffer(data[:nblocks * block_align], np.uint8)
+    raw = raw.reshape(nblocks, block_align)
+    coef = np.asarray(coefs, np.int32)
+    bpred = raw[:, :nch].astype(np.int32)
+    if np.any(bpred >= len(coef)):
+        raise RuntimeError("invalid MS ADPCM block predictor")
+
+    def i16(col):
+        lo = raw[:, col].astype(np.int32)
+        hi = raw[:, col + 1].astype(np.int8).astype(np.int32)
+        return lo | (hi << 8)
+
+    delta = np.stack([i16(nch + 2 * c) for c in range(nch)], axis=1)
+    s1 = np.stack([i16(3 * nch + 2 * c) for c in range(nch)], axis=1)
+    s2 = np.stack([i16(5 * nch + 2 * c) for c in range(nch)], axis=1)
+    c1 = coef[bpred, 0]
+    c2 = coef[bpred, 1]
+
+    body = raw[:, 7 * nch:]
+    nib = np.empty((nblocks, body.shape[1], 2), np.uint8)
+    nib[:, :, 0] = body >> 4
+    nib[:, :, 1] = body & 0x0F
+    nib = nib.reshape(nblocks, -1)
+
+    nchain = min(nib.shape[1] // nch, max(samples_per_block - 2, 0))
+    out = np.empty((nblocks, nch, 2 + nchain), np.int16)
+    out[:, :, 0] = s2.astype(np.int16)
+    out[:, :, 1] = s1.astype(np.int16)
+    for k in range(nchain):
+        code = nib[:, k * nch:(k + 1) * nch].astype(np.int32)
+        signed = np.where(code >= 8, code - 16, code)
+        cur = ((s1 * c1 + s2 * c2) >> 8) + signed * delta
+        cur = np.clip(cur, -32768, 32767)
+        out[:, :, 2 + k] = cur.astype(np.int16)
+        s2 = s1
+        s1 = cur
+        delta = np.maximum((_MS_ADAPT[code] * delta) >> 8, 16)
     return out.transpose(0, 2, 1).reshape(-1)
 
 
@@ -350,15 +418,34 @@ class FileStream(Stream):
         elif fmt_tag == _WAVE_FORMAT_MULAW:
             self._src_dtype = "ulaw"
             self._src_bits = 16
-        elif fmt_tag == _WAVE_FORMAT_IMA_ADPCM:
+        elif fmt_tag in (_WAVE_FORMAT_IMA_ADPCM, _WAVE_FORMAT_MS_ADPCM):
+            nch = max(self.channels, 1)
             # wSamplesPerBlock lives in the fmt extension (cbSize >= 2)
             if len(fmt_extra) >= 4:
                 spb = struct.unpack("<H", fmt_extra[2:4])[0]
+            elif fmt_tag == _WAVE_FORMAT_IMA_ADPCM:
+                spb = (block_align - 4 * nch) * 2 // nch + 1
             else:
-                spb = ((block_align - 4 * self.channels) * 2
-                       // max(self.channels, 1) + 1)
+                spb = (block_align - 7 * nch) * 2 // nch + 2
             data = self._fh.read(self._data_remaining)
-            vals = _ima_decode(data, block_align, self.channels, spb)
+            if fmt_tag == _WAVE_FORMAT_IMA_ADPCM:
+                vals = _ima_decode(data, block_align, nch, spb)
+            else:
+                # wNumCoef + coefficient pairs follow wSamplesPerBlock
+                coefs = _MS_COEF_DEFAULT
+                if len(fmt_extra) >= 6:
+                    ncoef = struct.unpack("<H", fmt_extra[4:6])[0]
+                    if ncoef and len(fmt_extra) >= 6 + 4 * ncoef:
+                        coefs = [struct.unpack_from("<hh", fmt_extra,
+                                                    6 + 4 * i)
+                                 for i in range(ncoef)]
+                try:
+                    vals = _ms_decode(data, block_align, nch, spb, coefs)
+                except RuntimeError as e:
+                    raise RuntimeError(f"{self.path}: {e}") from None
+                # libsndfile reports whole decoded blocks for MS ADPCM
+                # (fact is ignored on read); match sf_readf_float
+                fact_frames = None
             if fact_frames is not None:
                 vals = vals[: fact_frames * self.channels]
             self._src_bits = 16

@@ -146,9 +146,10 @@ def test_libsndfile_wav_demodulates(tmp_path):
 # subtype) — our reader must produce libsndfile's exact float output
 _SUB_ULAW, _SUB_ALAW, _SUB_PCM_S8, _SUB_PCM_U8 = 0x10, 0x11, 0x01, 0x05
 _SUB_PCM_24, _SUB_PCM_32, _SUB_DOUBLE, _SUB_IMA = 0x03, 0x04, 0x07, 0x12
+_SUB_MS = 0x13
 SUBFORMAT_CASES = [
     ("wav", _SUB_ULAW), ("wav", _SUB_ALAW), ("wav", _SUB_PCM_U8),
-    ("wav", _SUB_IMA),
+    ("wav", _SUB_IMA), ("wav", _SUB_MS),
     ("au", _SUB_ULAW), ("au", _SUB_ALAW), ("au", _SUB_PCM_S8),
     ("au", _SUB_PCM_24), ("au", _SUB_PCM_32), ("au", _SUB_DOUBLE),
     ("aiff", _SUB_ULAW), ("aiff", _SUB_ALAW), ("aiff", _SUB_PCM_S8),
