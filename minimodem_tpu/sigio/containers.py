@@ -6,8 +6,9 @@ implements the PCM-family members as self-contained header codecs around
 the same sample pipeline the WAV/AU writers use — byte-deterministic
 output, no timestamps, no peak chunks:
 
-  aiff/aif (incl. AIFC fl32/sowt), caf, w64, rf64, wavex, nist (SPHERE),
-  ircam, pvf, htk, avr, voc, svx (IFF/16SV)
+  aiff/aif (incl. AIFC fl32/sowt/ulaw/alaw and ima4 Apple-IMA reads),
+  caf, w64, rf64, wavex, nist (SPHERE), ircam, pvf, htk, avr, voc,
+  svx (IFF/16SV)
 
   plus mat4/mat5 (MATLAB), paf (Ensoniq PARIS), mpc2k (Akai MPC 2000),
   sd2 (Sound Designer II data fork), sds (MIDI Sample Dump Standard,
@@ -221,6 +222,22 @@ class Aiff(_Codec):
             _set_src(stream, rate, ch, "ulaw", 16, 7, data_nbytes)
         elif compression in (b"alaw", b"ALAW"):
             _set_src(stream, rate, ch, "alaw", 16, 6, data_nbytes)
+        elif compression == b"ima4":
+            # Apple IMA: decode the whole SSND up front (wavfile's
+            # vectorized packet decoder) and serve reads from memory.
+            # COMM numSampleFrames counts packets here and libsndfile
+            # returns whole decoded blocks — match sf_readf_float
+            from .wavfile import _ima4_decode
+            data = fh.read(data_nbytes)
+            vals = _ima4_decode(data, max(ch, 1))
+            stream.rate = rate
+            stream.channels = ch
+            stream._src_bits = 16
+            stream._src_fmt_tag = 0x11
+            stream._mem_buf = stream._convert(vals, src_bits=16)
+            stream._mem_pos = 0
+            stream._src_dtype = "mem"
+            stream._data_remaining = stream._mem_buf.nbytes
         else:
             raise RuntimeError(
                 f"{stream.path}: unsupported AIFC compression "

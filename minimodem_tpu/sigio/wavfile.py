@@ -122,6 +122,44 @@ def _ima_decode(data: bytes, block_align: int, channels: int,
     return out.transpose(0, 2, 1).reshape(-1)
 
 
+def _ima4_decode(data: bytes, channels: int) -> np.ndarray:
+    """Decode AIFF-C 'ima4' (Apple IMA) packets -> interleaved int16.
+
+    34-byte packets, channel-interleaved per packet group: a 2-byte
+    big-endian header (predictor in the top 9 bits, step index in the
+    low 7) then 32 code bytes = 64 samples, low nibble first.  The
+    predictor is running state only (not emitted); step semantics match
+    the WAV IMA chain.  Mirrors libsndfile's aiff_ima_decode_block."""
+    pkt = 34
+    nblocks = len(data) // (pkt * channels)
+    if nblocks == 0:
+        return np.zeros(0, np.int16)
+    raw = np.frombuffer(data[:nblocks * channels * pkt], np.uint8)
+    raw = raw.reshape(nblocks, channels, pkt)
+    hdr = (raw[:, :, 0].astype(np.int32) << 8) | raw[:, :, 1]
+    cur = hdr & 0xFF80
+    cur = np.where(cur & 0x8000, cur - 0x10000, cur)
+    idx = np.clip(hdr & 0x7F, 0, 88)
+    body = raw[:, :, 2:]
+    nib = np.empty((nblocks, channels, 32, 2), np.uint8)
+    nib[..., 0] = body & 0x0F
+    nib[..., 1] = body >> 4
+    nib = nib.reshape(nblocks, channels, 64)
+    out = np.empty((nblocks, channels, 64), np.int16)
+    for k in range(64):
+        bc = nib[:, :, k].astype(np.int32)
+        step = _IMA_STEP_SIZE[idx]
+        diff = step >> 3
+        diff += np.where(bc & 1, step >> 2, 0)
+        diff += np.where(bc & 2, step >> 1, 0)
+        diff += np.where(bc & 4, step, 0)
+        cur = cur + np.where(bc & 8, -diff, diff)
+        cur = np.clip(cur, -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX_ADJUST[bc], 0, 88)
+        out[:, :, k] = cur.astype(np.int16)
+    return out.transpose(0, 2, 1).reshape(-1)
+
+
 # ---- Microsoft ADPCM (WAV format tag 0x02) ------------------------------
 # adaptation table + default coefficient sets per the WAVE_FORMAT_ADPCM
 # spec; decode semantics mirror libsndfile's ms_adpcm.c (the reference's

@@ -153,6 +153,7 @@ SUBFORMAT_CASES = [
     ("au", _SUB_ULAW), ("au", _SUB_ALAW), ("au", _SUB_PCM_S8),
     ("au", _SUB_PCM_24), ("au", _SUB_PCM_32), ("au", _SUB_DOUBLE),
     ("aiff", _SUB_ULAW), ("aiff", _SUB_ALAW), ("aiff", _SUB_PCM_S8),
+    ("aiff", _SUB_IMA),
 ]
 
 
