@@ -217,6 +217,10 @@ class Aiff(_Codec):
                 raise RuntimeError(
                     f"{stream.path}: unsupported AIFF bit depth {bits}")
             _set_src(stream, rate, ch, dt, bits, _PCM, data_nbytes)
+        elif compression == b"raw ":
+            # AIFC 'raw ': unsigned 8-bit (libsndfile's PCM_U8 in AIFF)
+            _set_src(stream, rate, ch, np.dtype(np.uint8), 8, _PCM,
+                     data_nbytes)
         elif compression in (b"ulaw", b"ULAW"):
             # G.711 bytes decoded by wavfile._read's companded branch
             _set_src(stream, rate, ch, "ulaw", 16, 7, data_nbytes)
@@ -295,6 +299,12 @@ class Caf(_Codec):
         if desc is None:
             raise RuntimeError(f"{stream.path}: no desc chunk")
         rate, fmt_id, flags, _bpp, _fpp, ch, bits = desc
+        if fmt_id == b"ulaw":
+            _set_src(stream, int(rate), ch, "ulaw", 16, 7, data_nbytes)
+            return
+        if fmt_id == b"alaw":
+            _set_src(stream, int(rate), ch, "alaw", 16, 6, data_nbytes)
+            return
         if fmt_id != b"lpcm":
             raise RuntimeError(
                 f"{stream.path}: unsupported CAF codec {fmt_id!r}")
@@ -307,7 +317,8 @@ class Caf(_Codec):
             dt = np.dtype(bo + "f4")
             tag = _FLOAT
         else:
-            dt = {16: np.dtype(bo + "i2"), 32: np.dtype(bo + "i4")}.get(bits)
+            dt = {8: np.dtype(np.int8), 16: np.dtype(bo + "i2"),
+                  32: np.dtype(bo + "i4")}.get(bits)
             if dt is None:
                 raise RuntimeError(
                     f"{stream.path}: unsupported CAF bit depth {bits}")
@@ -363,10 +374,9 @@ class W64(_Codec):
             guid, csize = hdr[:16], struct.unpack("<q", hdr[16:])[0]
             body = csize - 24
             if guid == _W64_FMT:
-                fmt = struct.unpack("<HHIIHH", fh.read(16))
-                skip = body - 16
-                skip += (-csize) % 8
-                fh.seek(skip, 1)
+                fmt_raw = fh.read(body)
+                fmt = struct.unpack("<HHIIHH", fmt_raw[:16])
+                fh.seek((-csize) % 8, 1)
             elif guid == _W64_DATA:
                 data_nbytes = body
                 break
@@ -374,9 +384,51 @@ class W64(_Codec):
                 fh.seek(body + ((-csize) % 8), 1)
         if fmt is None:
             raise RuntimeError(f"{stream.path}: no fmt chunk")
-        tag, ch, rate, _br, _ba, bits = fmt
+        tag, ch, rate, _br, block_align, bits = fmt
+        if tag == 7:                   # G.711 u-law
+            _set_src(stream, rate, ch, "ulaw", 16, 7, data_nbytes)
+            return
+        if tag == 6:                   # G.711 A-law
+            _set_src(stream, rate, ch, "alaw", 16, 6, data_nbytes)
+            return
+        if tag in (0x11, 0x02):        # IMA / MS ADPCM, as in WAV
+            from .wavfile import (
+                _MS_COEF_DEFAULT,
+                _ima_decode,
+                _ms_decode,
+            )
+            nch = max(ch, 1)
+            ext = fmt_raw[16:]
+            if len(ext) >= 4:
+                spb = struct.unpack("<H", ext[2:4])[0]
+            elif tag == 0x11:
+                spb = (block_align - 4 * nch) * 2 // nch + 1
+            else:
+                spb = (block_align - 7 * nch) * 2 // nch + 2
+            data = fh.read(data_nbytes)
+            if tag == 0x11:
+                vals = _ima_decode(data, block_align, nch, spb)
+            else:
+                coefs = _MS_COEF_DEFAULT
+                if len(ext) >= 6:
+                    ncoef = struct.unpack("<H", ext[4:6])[0]
+                    if ncoef and len(ext) >= 6 + 4 * ncoef:
+                        coefs = [struct.unpack_from("<hh", ext, 6 + 4 * i)
+                                 for i in range(ncoef)]
+                vals = _ms_decode(data, block_align, nch, spb, coefs)
+            stream.rate = rate
+            stream.channels = ch
+            stream._src_bits = 16
+            stream._src_fmt_tag = tag
+            stream._mem_buf = stream._convert(vals, src_bits=16)
+            stream._mem_pos = 0
+            stream._src_dtype = "mem"
+            stream._data_remaining = stream._mem_buf.nbytes
+            return
         if tag == _FLOAT:
             dt = np.dtype("<f4") if bits == 32 else np.dtype("<f8")
+        elif tag == _PCM and bits == 8:
+            dt = np.dtype(np.uint8)
         elif tag == _PCM and bits in (16, 32):
             dt = np.dtype(f"<i{bits // 8}")
         else:
@@ -458,8 +510,16 @@ class Rf64(_Codec):
             # WAVE_FORMAT_EXTENSIBLE: the real tag leads the SubFormat
             # GUID (same handling as wavfile._parse_wav)
             (tag,) = struct.unpack("<H", fmt_raw[24:26])
+        if tag == 7:                   # G.711 u-law
+            _set_src(stream, rate, ch, "ulaw", 16, 7, data_nbytes)
+            return
+        if tag == 6:                   # G.711 A-law
+            _set_src(stream, rate, ch, "alaw", 16, 6, data_nbytes)
+            return
         if tag == _FLOAT:
             dt = np.dtype("<f4") if bits == 32 else np.dtype("<f8")
+        elif tag == _PCM and bits == 8:
+            dt = np.dtype(np.uint8)
         elif tag == _PCM and bits in (16, 32):
             dt = np.dtype(f"<i{bits // 8}")
         else:
@@ -548,13 +608,24 @@ class Nist(_Codec):
         nbytes_per = int(kv.get("sample_n_bytes", 2))
         byte_fmt = kv.get("sample_byte_format", "01")
         coding = kv.get("sample_coding", "pcm")
-        if not coding.startswith("pcm") or nbytes_per != 2:
+        count = int(kv.get("sample_count", 0))
+        remaining = count * ch * nbytes_per if count \
+            else _file_size(stream) - 1024
+        if coding.startswith("ulaw") or coding.startswith("mu-law"):
+            _set_src(stream, rate, ch, "ulaw", 16, 7, remaining)
+            return
+        if coding.startswith("alaw"):
+            _set_src(stream, rate, ch, "alaw", 16, 6, remaining)
+            return
+        if not coding.startswith("pcm") or nbytes_per not in (1, 2):
             raise RuntimeError(
                 f"{stream.path}: unsupported SPHERE coding "
                 f"{coding}/{nbytes_per * 8}-bit")
+        if nbytes_per == 1:            # signed 8-bit linear
+            _set_src(stream, rate, ch, np.dtype(np.int8), 8, _PCM,
+                     remaining)
+            return
         bo = "<" if byte_fmt == "01" else ">"
-        count = int(kv.get("sample_count", 0))
-        remaining = count * ch * 2 if count else _file_size(stream) - 1024
         _set_src(stream, rate, ch, np.dtype(bo + "i2"), 16, _PCM,
                  remaining)
 
@@ -566,6 +637,8 @@ _IRCAM_MAGICS = (0x0001A364, 0x0002A364, 0x0003A364, 0x0004A364)
 _IRCAM_BE = 0x0001A364
 _IRCAM_PCM16 = 0x00002
 _IRCAM_FLOAT = 0x00004
+_IRCAM_ALAW = 0x10001
+_IRCAM_ULAW = 0x20001
 
 
 class Ircam(_Codec):
@@ -605,6 +678,12 @@ class Ircam(_Codec):
         elif enc == _IRCAM_FLOAT:
             _set_src(stream, int(round(rate)), ch, np.dtype(bo + "f4"),
                      32, _FLOAT, remaining)
+        elif enc == _IRCAM_ULAW:
+            _set_src(stream, int(round(rate)), ch, "ulaw", 16, 7,
+                     remaining)
+        elif enc == _IRCAM_ALAW:
+            _set_src(stream, int(round(rate)), ch, "alaw", 16, 6,
+                     remaining)
         else:
             raise RuntimeError(
                 f"{stream.path}: unsupported IRCAM encoding {enc:#x}")
@@ -701,13 +780,18 @@ class Avr(_Codec):
         raw = fh.read(128)
         _magic, _name, stereo, rez, sign, _loop, _midi, rate, nframes, \
             _lbeg, _lend = struct.unpack(">4s8sHHHHHIIII", raw[:38])
-        if rez != 16 or sign != 0xFFFF:
+        signed = sign == 0xFFFF
+        if rez == 16 and signed:
+            dt = np.dtype(">i2")
+        elif rez == 8:
+            dt = np.dtype(np.int8) if signed else np.dtype(np.uint8)
+        else:
             raise RuntimeError(
                 f"{stream.path}: unsupported AVR sample format "
                 f"({rez}-bit, signed={sign:#x})")
         ch = 2 if stereo else 1
-        _set_src(stream, rate & 0x00FFFFFF, ch, np.dtype(">i2"), 16,
-                 _PCM, nframes * ch * 2)
+        _set_src(stream, rate & 0x00FFFFFF, ch, dt, rez, _PCM,
+                 nframes * ch * (rez // 8))
 
 
 # -------------------------------------------------------------------- VOC
@@ -758,12 +842,30 @@ class Voc(_Codec):
             (bsize,) = struct.unpack("<I", fh.read(3) + b"\x00")
             if btype == b"\x09":
                 rate, bits, ch, fmt = struct.unpack("<IBBH4x", fh.read(12))
-                if fmt != 4 or bits != 16:
+                if fmt == 4 and bits == 16:
+                    _set_src(stream, rate, ch, np.dtype("<i2"), 16,
+                             _PCM, bsize - 12)
+                elif fmt == 7 and bits == 8:        # G.711 u-law
+                    _set_src(stream, rate, ch, "ulaw", 16, 7, bsize - 12)
+                elif fmt == 6 and bits == 8:        # G.711 A-law
+                    _set_src(stream, rate, ch, "alaw", 16, 6, bsize - 12)
+                elif fmt == 0 and bits == 8:        # unsigned 8-bit
+                    _set_src(stream, rate, ch, np.dtype(np.uint8), 8,
+                             _PCM, bsize - 12)
+                else:
                     raise RuntimeError(
                         f"{stream.path}: unsupported VOC format "
                         f"{fmt}/{bits}-bit")
-                _set_src(stream, rate, ch, np.dtype("<i2"), 16, _PCM,
-                         bsize - 12)
+                return
+            if btype == b"\x01":
+                # legacy Sound Data block: u8 rate-divisor code + codec
+                div, codec = struct.unpack("<BB", fh.read(2))
+                if codec != 0:
+                    raise RuntimeError(
+                        f"{stream.path}: unsupported VOC codec {codec}")
+                rate = int(round(1e6 / (256 - div)))
+                _set_src(stream, rate, 1, np.dtype(np.uint8), 8, _PCM,
+                         bsize - 2)
                 return
             fh.seek(bsize, 1)
 
@@ -1018,7 +1120,7 @@ class Mat5(_Codec):
                 fh.seek(end)
                 continue
             if name == "wavedata":
-                dt = {_MI_INT16: "<i2", _MI_SINGLE: "<f4",
+                dt = {2: "u1", _MI_INT16: "<i2", _MI_SINGLE: "<f4",
                       _MI_DOUBLE: "<f8"}.get(st)
                 if dt is None or body is not None:
                     raise RuntimeError(
@@ -1026,8 +1128,9 @@ class Mat5(_Codec):
                         f"type {st}")
                 dtype = np.dtype(dt)
                 tag = _FLOAT if dtype.kind == "f" else _PCM
+                bits = {2: 8, _MI_INT16: 16}.get(st, 32)
                 _set_src(stream, int(round(rate)), dims[0], dtype,
-                         16 if st == _MI_INT16 else 32, tag, ssize)
+                         bits, tag, ssize)
                 return  # fh sits at the first sample
             fh.seek(end)
 
@@ -1343,26 +1446,43 @@ class Sds(_Codec):
         if len(raw) < 21 or raw[3] != 0x01:
             raise RuntimeError(f"{stream.path}: no SDS dump header")
         fmt_bits = raw[6]
-        if fmt_bits not in (14, 15, 16):
+        if fmt_bits not in (8, 14, 15, 16):
             raise RuntimeError(
                 f"{stream.path}: unsupported SDS depth {fmt_bits}")
         period = raw[7] | (raw[8] << 7) | (raw[9] << 14)
         nframes = raw[10] | (raw[11] << 7) | (raw[12] << 14)
-        rate = int(round(1e9 / period)) if period else 0
+        rate = int(1e9 / period) if period else 0  # sf truncates
         chunks = []
         got = 0
         while got < nframes:
             pkt = fh.read(127)
             if len(pkt) < 127 or pkt[0] != 0xF0 or pkt[3] != 0x02:
                 break
-            tri = np.frombuffer(pkt[5:125], np.uint8).reshape(40, 3)
-            vals = ((tri[:, 0].astype(np.int32) << 9)
-                    | (tri[:, 1].astype(np.int32) << 2)
-                    | (tri[:, 2].astype(np.int32) >> 5)) - 0x8000
+            if fmt_bits == 8:
+                # 2 x 7-bit bytes, left-justified: 60 samples/packet
+                # (libsndfile sds_8bit_read's << 25/<< 18 collapses to
+                # this after its >> 16 short conversion)
+                duo = np.frombuffer(pkt[5:125], np.uint8).reshape(60, 2)
+                vals = ((duo[:, 0].astype(np.int32) << 9)
+                        | (duo[:, 1].astype(np.int32) << 2)) - 0x8000
+                got += 60
+            else:
+                tri = np.frombuffer(pkt[5:125], np.uint8).reshape(40, 3)
+                vals = ((tri[:, 0].astype(np.int32) << 9)
+                        | (tri[:, 1].astype(np.int32) << 2)
+                        | (tri[:, 2].astype(np.int32) >> 5)) - 0x8000
+                got += 40
             chunks.append(vals.astype(np.int16))
-            got += 40
-        pcm = (np.concatenate(chunks)[:nframes] if chunks
+        pcm = (np.concatenate(chunks) if chunks
                else np.zeros(0, np.int16))
+        if len(pcm) < nframes:
+            pcm = np.concatenate(
+                [pcm, np.zeros(nframes - len(pcm), np.int16)])
+        pcm = pcm[:nframes].copy()
+        # libsndfile delivers whole packets only: samples past
+        # floor(nframes / samples_per_packet) packets read back as 0
+        spp = 60 if fmt_bits == 8 else 40
+        pcm[nframes // spp * spp:] = 0
         vals = (pcm.astype(np.float32) / np.float32(32768.0)
                 if stream.format is SampleFormat.FLOAT else pcm)
         _set_mem_src(stream, vals, rate)
