@@ -370,7 +370,11 @@ class FileStream(Stream):
         enable_raw_u8() to make read() return the raw uint8 bytes."""
         if self._src_dtype in ("ulaw", "alaw"):
             return self._src_dtype
-        if self._src_dtype is np.uint8:      # unsigned PCM8 (WAV)
+        # unsigned PCM8 (WAV/RF64/W64/VOC/AVR/AIFC-raw); containers
+        # store either the type or a dtype instance
+        if self._src_dtype is np.uint8 or (
+                isinstance(self._src_dtype, np.dtype)
+                and self._src_dtype == np.uint8):
             return "pcm8"
         return None
 

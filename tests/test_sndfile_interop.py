@@ -202,6 +202,25 @@ def test_read_subformats_s16_path(tmp_path, ext, sub):
     assert np.array_equal(got, want), (ext, hex(sub))
 
 
+@pytest.mark.parametrize("ext,sub,enc", [
+    ("wav", _SUB_ULAW, "ulaw"), ("w64", _SUB_ALAW, "alaw"),
+    ("nist", _SUB_ULAW, "ulaw"), ("voc", _SUB_PCM_U8, "pcm8"),
+    ("rf64", _SUB_PCM_U8, "pcm8"), ("avr", _SUB_PCM_U8, "pcm8"),
+])
+def test_raw_u8_wire_detection(tmp_path, ext, sub, enc):
+    """1-byte-per-sample sources report their wire encoding so the
+    device-side G.711/PCM8 expansion path can ship raw bytes,
+    regardless of which container carried them."""
+    from minimodem_tpu.sigio import Direction
+
+    path = _ext_path(tmp_path, ext, f"rawu8{sub:02x}")
+    S.write(path, S16, 48000, S.MAJOR_BY_EXT[ext] | sub)
+    fs = FileStream(path, Direction.RECORD, SampleFormat.FLOAT,
+                    48000, 1)
+    assert fs.raw_u8_encoding() == enc
+    fs.close()
+
+
 def test_ulaw_encode_matches_libsndfile(tmp_path):
     """Our G.711 u-law encoder produces libsndfile's exact bytes."""
     from minimodem_tpu.sigio.containers import _ulaw_encode
