@@ -863,7 +863,10 @@ class Voc(_Codec):
                 if codec != 0:
                     raise RuntimeError(
                         f"{stream.path}: unsupported VOC codec {codec}")
-                rate = int(round(1e6 / (256 - div)))
+                # libsndfile 1.1.0 computes this with C integer division
+                # (truncation, not rounding) — match it exactly, since the
+                # rate drives demod geometry (decision-exact parity).
+                rate = 1_000_000 // (256 - div)
                 _set_src(stream, rate, 1, np.dtype(np.uint8), 8, _PCM,
                          bsize - 2)
                 return

@@ -202,6 +202,25 @@ def test_read_subformats_s16_path(tmp_path, ext, sub):
     assert np.array_equal(got, want), (ext, hex(sub))
 
 
+@pytest.mark.parametrize("ext,sub", [
+    ("voc", _SUB_PCM_U8), ("voc", _SUB_ULAW), ("sds", _SUB_PCM_S8),
+])
+def test_divisor_rate_parity_fractional(tmp_path, ext, sub):
+    """Containers that code the rate through a divisor (VOC legacy
+    1e6/(256-n), SDS ns period) must match libsndfile's *truncating*
+    C-integer arithmetic on fractional quotients: 44100 Hz maps to
+    45454 Hz in libsndfile 1.1.0 (not the 45455 a round() would give),
+    and the decoded rate drives demod geometry (decision-exact parity).
+    48000 divides exactly, so the main matrix can't see this."""
+    path = _ext_path(tmp_path, ext, f"r44k{sub:02x}")
+    S.write(path, S16, 44100, S.MAJOR_BY_EXT[ext] | sub)
+    want, rate, ch = S.read(path)
+    got, rate2, ch2 = read_all(path, SampleFormat.FLOAT)
+    assert (rate2, ch2) == (rate, ch) and ch == 1
+    assert len(got) == len(want)
+    assert np.array_equal(got, want), (ext, hex(sub))
+
+
 @pytest.mark.parametrize("ext,sub,enc", [
     ("wav", _SUB_ULAW, "ulaw"), ("w64", _SUB_ALAW, "alaw"),
     ("nist", _SUB_ULAW, "ulaw"), ("voc", _SUB_PCM_U8, "pcm8"),
