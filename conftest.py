@@ -23,7 +23,16 @@ def _axon_hook_present() -> bool:
 def pytest_configure(config):
     if os.environ.get(_REEXEC_FLAG) == "1":
         return
-    if not (_axon_hook_present() or os.environ.get("JAX_PLATFORMS") != "cpu"):
+    needs_clean_env = (_axon_hook_present()
+                       or os.environ.get("JAX_PLATFORMS") != "cpu")
+    # A user following CLAUDE.md's advice may preset JAX_PLATFORMS=cpu in
+    # an already-clean env; without the 8-device flag the 15 mesh tests
+    # (sharding/service/u8-fleet) would silently skip — re-exec for the
+    # flag alone too, so `pytest -q` never loses them in any documented
+    # invocation.
+    needs_mesh_flag = ("xla_force_host_platform_device_count"
+                       not in os.environ.get("XLA_FLAGS", ""))
+    if not (needs_clean_env or needs_mesh_flag):
         return
     env = dict(os.environ)
     env[_REEXEC_FLAG] = "1"

@@ -46,6 +46,7 @@ def _mega_vs_device(monkeypatch, m, waves, spec=None):
         P.build_mega_rx.cache_clear()
 
 
+@pytest.mark.smoke
 def test_mega_interpret_parity(monkeypatch):
     m = FskModem("1200")
     payloads = [b"mega kernel parity", b"second stream, other text"]

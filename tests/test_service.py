@@ -25,6 +25,7 @@ def _tx_batch(texts):
     return m, streams
 
 
+@pytest.mark.smoke
 def test_decode_batch_parity(mesh8):
     texts = [b"stream zero", b"stream one is longer",
              b"s2", b"stream three ~!@#", b"stream four 44444"]

@@ -25,6 +25,7 @@ from minimodem_tpu.sigio.containers import (
 from .helpers import run_cli
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("enc", ["ulaw", "alaw", "pcm8"])
 def test_device_expansion_matches_host_tables(enc):
     """normalize_input on all 256 byte values == the host expansion."""
