@@ -280,7 +280,17 @@ class FileStream(Stream):
                 self._write_header_placeholder()
         else:
             self._fh = open(path, "rb")
-            self._read_header()
+            try:
+                self._read_header()
+            except RuntimeError:
+                # subformats the native reader doesn't decode (GSM 6.10,
+                # anything else exotic): defer to a host libsndfile when
+                # one exists — the reference's own architecture
+                # (src/simpleaudio-sndfile.c:46-70 reads any subformat
+                # transparently through sf_readf_float).  Without one,
+                # the native reader's error stands.
+                if not self._sndfile_fallback():
+                    raise
 
     # ================= write side =================
     def _write_header_placeholder(self) -> None:
@@ -363,6 +373,27 @@ class FileStream(Stream):
         return nframes
 
     # ================= read side =================
+    def _sndfile_fallback(self) -> bool:
+        """Decode the whole file via a host libsndfile into memory and
+        serve reads from there (already in the stream's format), like
+        the OGG path.  -> False when no library can open it."""
+        from .sndfile_fallback import read_file
+
+        res = read_file(self.path, self.format is SampleFormat.FLOAT)
+        if res is None:
+            return False
+        samples, rate, ch = res
+        self.container = "sndfile"
+        self.rate = rate
+        self.channels = ch
+        self._mem_buf = samples
+        self._mem_pos = 0
+        self._src_dtype = "mem"
+        self._src_fmt_tag = None
+        self._src_bits = 16
+        self._data_remaining = samples.nbytes
+        return True
+
     def raw_u8_encoding(self):
         """Wire encoding name when this source is a 1-byte-per-sample
         format the device can expand itself (ops/device_rx.U8_ENCODINGS)
