@@ -19,6 +19,7 @@ def main() -> int:
     from minimodem_tpu.bench import (
         batched_loopback_throughput,
         decode_throughput,
+        fleet_ingest_throughput,
         fleet_loopback_throughput,
         loopback_throughput,
     )
@@ -49,6 +50,11 @@ def main() -> int:
     # fleet path: the sharded service's per-chip program (dp = devices)
     fleet = fleet_loopback_throughput("1200", audio_seconds=audio_seconds,
                                       batch=batch)
+    # fleet INGEST: u8 telephony wire in through ShardedReceiver's
+    # per-chip megakernel (link-bound on this harness — 1 byte/sample
+    # uploads ride the tunnel; a deployment NIC makes it device-bound)
+    fleet_in = fleet_ingest_throughput("1200", audio_seconds=30.0,
+                                       batch=8, repeats=3)
     e2e = decode_throughput("1200", audio_seconds=2 * audio_seconds,
                             repeats=3)
     e2e_u = decode_throughput("1200", audio_seconds=2 * audio_seconds,
@@ -77,7 +83,8 @@ def main() -> int:
         "single_burst_latency_ms": round(r["single_burst_latency_ms"], 1),
     }
 
-    ok = all(r["decode_exact"] for r in (blb, blb2, lb, e2e, e2e_u, fleet)) \
+    ok = all(r["decode_exact"]
+             for r in (blb, blb2, lb, e2e, e2e_u, fleet, fleet_in)) \
         and all(m["decode_exact"] for m in modes.values())
     out = {
         "metric": "bell202_48k_decode_realtime_factor",
@@ -97,6 +104,9 @@ def main() -> int:
         "pipelined_realtime_factor": round(blb2["real_time_factor"], 2),
         "fleet_realtime_factor": round(fleet["real_time_factor"], 2),
         "fleet_devices": fleet["devices"],
+        "fleet_ingest_realtime_factor": round(
+            fleet_in["real_time_factor"], 2),
+        "fleet_ingest_mega": fleet_in["mega"],
         "modes": modes,
     }
     print(json.dumps(out))

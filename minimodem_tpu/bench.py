@@ -322,6 +322,74 @@ def fleet_loopback_throughput(mode: str = "1200",
     }
 
 
+def fleet_ingest_throughput(mode: str = "1200",
+                            audio_seconds: float = 60.0,
+                            batch: int = 16, sample_rate: int = 48000,
+                            precision: str = "auto",
+                            encoding: str = "ulaw",
+                            repeats: int = 3) -> dict:
+    """The fleet INGEST path: host audio in (u8 telephony wire by
+    default — 1 byte/sample, G.711-expanded on device), decoded through
+    ShardedReceiver's per-chip megakernel program over a dp = n_devices
+    mesh (round 5: the samples path now rides the same mega program as
+    the single-chip receiver).
+
+    Unlike the loopback fleet row (audio synthesized on device), this
+    one uploads batch * audio_seconds * 48000 wire bytes per call, so on
+    this harness it is link-bound (~10-40 MB/s tunnel -> a few hundred x
+    ceiling regardless of batch); repeats keep the best wall.  On a
+    deployment NIC the same program is device-bound."""
+    import jax
+
+    from .models.modem import FskModem
+    from .parallel.service import ShardedReceiver
+    from .parallel.sharding import make_mesh
+
+    m = FskModem(mode, sample_rate=sample_rate, precision=precision)
+    base = _bench_payload(m.cfg, audio_seconds)
+    payloads = [bytes((b + 5 * i) % 94 + 33 for b in base)
+                for i in range(batch)]
+    waves = [m.modulate(p) for p in payloads]
+    if encoding is not None:
+        from .sigio.containers import _alaw_encode, _ulaw_encode
+
+        enc_fn = {"ulaw": _ulaw_encode, "alaw": _alaw_encode,
+                  "pcm8": lambda v: ((v.astype(np.int32) >> 8) + 128)
+                  .astype(np.uint8)}[encoding]
+        waves = [enc_fn(np.clip(np.rint(w * 32768.0), -32768,
+                                32767).astype(np.int16)) for w in waves]
+    L = max(len(w) for w in waves)
+    x = np.zeros((batch, L), np.uint8 if encoding else np.float32)
+    for i, w in enumerate(waves):
+        x[i, :len(w)] = w
+    totals = [len(w) for w in waves]
+    audio_sec = sum(totals) / sample_rate
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev, dp=n_dev, sp=1)
+    svc = ShardedReceiver(m.cfg, mesh, precision)
+    events, _ = svc.run_events_batch(x, totals, 1.5, 2.3,
+                                     in_encoding=encoding)
+    ok = _render_ok(m.cfg, "ascii8", payloads, events)
+
+    dt = float("inf")
+    for _ in range(max(1, int(repeats))):
+        t0 = time.perf_counter()
+        svc.run_events_batch(x, totals, 1.5, 2.3, in_encoding=encoding)
+        dt = min(dt, time.perf_counter() - t0)
+    return {
+        "mode": mode,
+        "encoding": encoding or "float32",
+        "batch": batch,
+        "devices": n_dev,
+        "mega": svc.use_mega,
+        "audio_seconds": audio_sec,
+        "wall_seconds": dt,
+        "real_time_factor": audio_sec / dt,
+        "decode_exact": bool(ok),
+    }
+
+
 _BAUDOT_CHARS = b"THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG 0123456789 "
 
 

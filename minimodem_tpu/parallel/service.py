@@ -82,26 +82,53 @@ class ShardedReceiver:
             self.compact = cfg.n_data_bits <= 8
         else:
             self.compact = bool(compact)
+        # dp-only fleet ingest rides the SAME megakernel program the
+        # single-chip samples receiver dispatches (ops/device_rx.py's
+        # DeviceReceiver): one-shot decodes, zero carry per stream.
+        # sp>1 keeps the XLA while_loop (the gathered-planes layout
+        # feeds _build_device_rx's packed_input path).
+        from ..ops.pallas_rx import mega_default_on, mega_supported
+
+        self.use_mega = (self.sp == 1 and self.compact
+                         and mega_supported(self.key)
+                         and mega_default_on())
         self._fns = {}
 
-    def _fn_for(self, t_total: int, in_dtype: str):
+    def _fn_for(self, t_total: int, in_dtype: str, batch_local: int):
         import jax
         import jax.numpy as jnp
         from jax.sharding import PartitionSpec as P
 
         from ..ops.device_rx import _build_device_rx
 
-        cache_key = (t_total, in_dtype)
+        cache_key = (t_total, in_dtype,
+                     batch_local if self.use_mega else 0)
         fn = self._fns.get(cache_key)
         if fn is not None:
             return fn
         sp = self.sp
         compact = self.compact
-        # the [8, B, E] event layout (and compact mode's flat result
-        # vector, blocked per dp shard) shard cleanly on the stream axis
-        rx_fn, _, _ = _build_device_rx(
-            self.key, t_total, self.rx_one, in_dtype, True, compact,
-            packed_input=(sp > 1))
+        use_mega = self.use_mega
+        if use_mega:
+            from ..ops.device_rx import make_score_packer_planes
+            from ..ops.pallas_rx import build_mega_rx, mega_score_len
+
+            from ..ops.device_rx import U8_ENCODINGS
+
+            t_score = mega_score_len(self.key, t_total)
+            pk_dtype = ("float32" if in_dtype in U8_ENCODINGS
+                        else in_dtype)
+            packer, n_ch_mega, _ = make_score_packer_planes(
+                self.key, t_score, pk_dtype)
+            kern, _, _ = build_mega_rx(self.key, t_total, self.rx_one,
+                                       batch_local)
+        else:
+            # the [8, B, E] event layout (and compact mode's flat result
+            # vector, blocked per dp shard) shards cleanly on the stream
+            # axis
+            rx_fn, _, _ = _build_device_rx(
+                self.key, t_total, self.rx_one, in_dtype, True, compact,
+                packed_input=(sp > 1))
         if sp > 1:
             # sp-sharded scoring: each (dp, sp) shard scores t_total/sp
             # offsets (halo ppermuted from the right neighbor, like
@@ -183,6 +210,20 @@ class ShardedReceiver:
                     packed = jax.lax.all_gather(
                         packed_local, "sp", axis=2, tiled=True)
                 out = rx_fn(packed, totals, thr[0], thr[1], carry)
+            elif use_mega:
+                # x: [Bl, t_score + halo] raw wire; expand u8 + tail-
+                # mask exactly like _mega_run_fn, then the planes packer
+                # feeds the megakernel (one-shot: zero carry)
+                xm = x
+                if in_dtype in U8_ENCODINGS:
+                    from ..ops.device_rx import expand_wire
+
+                    xm = expand_wire(xm, totals, in_dtype, 0)
+                packed = jax.vmap(packer)(xm).reshape(
+                    batch_local * n_ch_mega, t_score)
+                ci = jnp.zeros((batch_local, 8), jnp.int32)
+                cf = jnp.zeros((batch_local, 4), jnp.float32)
+                out = kern(packed, totals, thr, ci, cf)[:2]
             else:
                 out = rx_fn(x, totals, thr[0], thr[1], carry)
             if compact:
@@ -235,7 +276,12 @@ class ShardedReceiver:
                 local_fn, mesh=self.mesh,
                 in_specs=in_specs,
                 out_specs=out_specs, check_rep=False)
-        fn = jax.jit(sfn)
+        if use_mega:
+            from ..utils.aot import jit_mosaic
+
+            fn = jit_mosaic(sfn)
+        else:
+            fn = jax.jit(sfn)
         self._fns[cache_key] = fn
         return fn
 
@@ -277,13 +323,22 @@ class ShardedReceiver:
         # sp>1 shards the time axis evenly: no trailing halo region (the
         # last shard scores into zeros, which is what the region holds
         # anyway — t_total exceeds every stream's valid length)
-        t_host = t_total if self.sp > 1 else t_total + geo.halo
+        if self.sp > 1:
+            t_host = t_total
+        elif self.use_mega:
+            # the planes packer scores mega_score_len extra zero tiles
+            # (kernel refill slack) — hosts feed t_score + halo
+            from ..ops.pallas_rx import mega_score_len
+
+            t_host = mega_score_len(self.key, t_total) + geo.halo
+        else:
+            t_host = t_total + geo.halo
         x = alloc_wire((b_pad, t_host), samples.dtype, in_encoding)
         x[:b, :min(L, t_host)] = samples[:, :t_host]
         tot = np.zeros((b_pad,), np.int32)
         tot[:b] = totals
         in_dtype = wire_dtype(samples, in_encoding)
-        fn = self._fn_for(t_total, in_dtype)
+        fn = self._fn_for(t_total, in_dtype, b_pad // self.dp)
 
         shard = NamedSharding(self.mesh, P("dp"))
         x_shard = NamedSharding(

@@ -68,6 +68,78 @@ def test_events_match_single_chip(mesh8):
             np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("enc", [None, "ulaw"])
+def test_mega_ingest_matches_single_chip(mesh8, monkeypatch, enc):
+    """The dp-only fleet INGEST path (samples/u8 in) rides the same
+    megakernel program as the single-chip samples receiver
+    (ops/device_rx.py DeviceReceiver): interpret-mode mega under
+    shard_map must be event- and byte-exact vs the XLA single chip."""
+    from jax.experimental import pallas as pl
+
+    from minimodem_tpu.ops import pallas_rx as P
+    from minimodem_tpu.ops.device_rx import DeviceReceiver
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", interp_call)
+    monkeypatch.setenv("MINIMODEM_TPU_MEGAKERNEL", "1")
+    P.build_mega_rx.cache_clear()
+    try:
+        texts = [b"fleet mega ingest", b"stream two ~!@#", b"s3"]
+        m, streams = _tx_batch(texts)
+        if enc == "ulaw":
+            from minimodem_tpu.sigio.containers import _ulaw_encode
+
+            streams = [
+                _ulaw_encode(np.clip(np.rint(s * 32768.0), -32768,
+                                     32767).astype(np.int16))
+                for s in streams]
+        L = max(len(s) for s in streams)
+        x = np.zeros((len(streams), L),
+                     np.uint8 if enc else np.float32)
+        for i, s in enumerate(streams):
+            x[i, :len(s)] = s
+        totals = [len(s) for s in streams]
+
+        svc = ShardedReceiver(m.cfg, mesh8)
+        assert svc.use_mega
+        ev_sharded, _ = svc.run_events_batch(x, totals, 1.5, 2.3,
+                                             in_encoding=enc)
+
+        # apples to apples: the single-chip samples receiver with the
+        # megakernel ON — the exact program the fleet shards
+        single = DeviceReceiver(m.cfg)
+        assert single._mega is not None
+        ev_single, _ = single.run_events_batch(x, totals, 1.5, 2.3,
+                                               in_encoding=enc)
+
+        assert len(ev_sharded) == len(ev_single)
+        for tup_s, tup_1 in zip(ev_sharded, ev_single):
+            assert len(tup_s) == len(tup_1) == 3
+            for a, b in zip(tup_s, tup_1):
+                np.testing.assert_array_equal(a, b)
+
+        # and the decision-exact contract vs the XLA engine: identical
+        # decoded bytes (engines may differ in the last ulp of the
+        # NOCARRIER ampl sum on G.711-expanded values — the parity
+        # contract is bytes + stats lines, tests/test_engines.py)
+        monkeypatch.setenv("MINIMODEM_TPU_MEGAKERNEL", "0")
+        xla = DeviceReceiver(m.cfg)
+        assert xla._mega is None
+        ev_xla, _ = xla.run_events_batch(x, totals, 1.5, 2.3,
+                                         in_encoding=enc)
+        for tup_s, tup_x, want in zip(ev_sharded, ev_xla, texts):
+            np.testing.assert_array_equal(tup_s[0], tup_x[0])  # types
+            assert bytes(np.asarray(tup_s[2], np.uint8)) \
+                == bytes(np.asarray(tup_x[2], np.uint8))
+    finally:
+        P.build_mega_rx.cache_clear()
+
+
 def test_compact_vs_wide_service_equality(mesh8):
     """compact (production) and wide event modes of the sharded service
     must agree: same carrier-transition events, same decoded bytes, same
