@@ -24,8 +24,15 @@ def main() -> int:
         loopback_throughput,
     )
 
-    audio_seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 60.0
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    # Headline defaults (round 5, measured sweep scripts/tpu_batch_amortize.py):
+    # the ~25-28 ms fixed per-execute cost amortizes over PROGRAM SIZE, not
+    # chaining (lax.scan-chained programs measured slower — see ROADMAP), so
+    # the headline runs the widest batch that compiles (128; 192 fails) and
+    # fills the 12 x 256K-sample score bucket (64.3 s: 77160 bits pad to
+    # 77824, the largest _sched_pad bucket whose synth fits the bucket).
+    # Measured: (60, 64) 28.4k -> (64.3, 128) 36.0k, decode_exact.
+    audio_seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 64.3
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
     # synchronous single call (compile + correctness + the one-call number)
     blb = batched_loopback_throughput("1200", audio_seconds=audio_seconds,
