@@ -58,7 +58,7 @@ class FskModem:
 
     # ------------------------------------------------------------------
     def demodulate(self, samples: np.ndarray, return_events: bool = False,
-                   in_encoding: str = None):
+                   in_encoding: str = None, wire_pack="auto"):
         """Decode FSK audio samples to bytes.
 
         in_encoding: raw-u8 wire encoding ("ulaw"/"alaw"/"pcm8") when
@@ -77,7 +77,7 @@ class FskModem:
         events: list[str] = []
         rxer = Receiver(self.cfg, self.rx_options, codec,
                         sink.write, events.append)
-        rxer.run(samples, in_encoding=in_encoding)
+        rxer.run(samples, in_encoding=in_encoding, wire_pack=wire_pack)
         if return_events:
             return sink.getvalue(), events
         return sink.getvalue()

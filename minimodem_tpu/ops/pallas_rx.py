@@ -1212,21 +1212,30 @@ def _mega_run_fn(cfg_key, t_total: int, batch: int, rx_one: bool,
     import jax
 
     from ..utils.aot import jit_mosaic
-    from .device_rx import (U8_ENCODINGS, expand_wire,
+    from .device_rx import (U8_ENCODINGS, expand_wire, geo_from_key,
                             make_score_packer_planes)
+    from .wirepack import parse_spec, unpack_expand
 
     t_score = mega_score_len(cfg_key, t_total)
     # u8 wires expand + tail-mask before the packer (expand_wire): the
     # pad codeword past each stream's total becomes exact 0.0, matching
-    # the host float path (A-law has no zero codeword)
-    pk_dtype = "float32" if input_dtype in U8_ENCODINGS else input_dtype
+    # the host float path (A-law has no zero codeword).  dpack wires
+    # (delta-bitpacked int16, ops/wirepack.py) unpack + tail-mask the
+    # same way — u8_extra marks real lookahead samples past the scan
+    # bound in both cases.
+    dp = parse_spec(input_dtype)
+    pk_dtype = ("float32" if (dp or input_dtype in U8_ENCODINGS)
+                else input_dtype)
+    n_x = t_score + geo_from_key(cfg_key).halo
     packer, n_ch, _ = make_score_packer_planes(cfg_key, t_score,
                                                pk_dtype)
     kern, max_events, e_pad = build_mega_rx(cfg_key, t_total, rx_one,
                                             batch, finalize)
 
     def run(x, totals, thr2, carry_i, carry_f):
-        if input_dtype in U8_ENCODINGS:
+        if dp:
+            x = unpack_expand(x, totals, *dp, n_x, u8_extra)
+        elif input_dtype in U8_ENCODINGS:
             x = expand_wire(x, totals, input_dtype, u8_extra)
         packed = jax.vmap(packer)(x).reshape(batch * n_ch, t_score)
         return kern(packed, totals, thr2, carry_i, carry_f)
@@ -1314,9 +1323,13 @@ class MegaReceiver:
         in_dtype = wire_dtype(samples, in_encoding)
         fn, max_events, t_score = self._fn_for(t_total, b, in_dtype,
                                                finalize)
-        x = alloc_wire((b, t_score + geo.halo), samples.dtype,
-                       in_encoding)
-        x[:, :min(L, t_score + geo.halo)] = samples[:, :t_score + geo.halo]
+        from .wirepack import parse_spec
+
+        # dpack rows pass through at the caller's capacity (the wire
+        # row IS the upload); other encodings fill a sized buffer
+        row = L if parse_spec(in_dtype) else t_score + geo.halo
+        x = alloc_wire((b, row), samples.dtype, in_encoding)
+        x[:, :min(L, row)] = samples[:, :row]
         thr2 = np.asarray([conf_threshold, conf_search_limit], np.float32)
         ci, cf = self.carry_to_arrays(carry, b)
         out = fn(jnp.asarray(x), jnp.asarray(totals), jnp.asarray(thr2),

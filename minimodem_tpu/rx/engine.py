@@ -143,7 +143,8 @@ class Receiver:
     # ------------------------------------------------------------------
     def run(self, samples: np.ndarray,
             provider: Optional[ScoreProvider] = None,
-            engine: str = "auto", in_encoding: str = None) -> int:
+            engine: str = "auto", in_encoding: str = None,
+            wire_pack="auto") -> int:
         """Decode a sample stream.
 
         engine: "device" = fully TPU-resident state machine (fast path),
@@ -156,6 +157,9 @@ class Receiver:
         uint8 sample array — the device path ships 1 byte/sample over
         the host link and expands on chip (bit-identical values); host
         paths expand up front.
+
+        wire_pack: "auto"/True/False — lossless delta-bitpack transport
+        for int16 device uploads (ops/wirepack.py); device paths only.
         """
         if engine == "auto":
             engine = "device"
@@ -164,7 +168,7 @@ class Receiver:
                 if in_encoding:
                     samples = self._expand_u8(samples, in_encoding)
                 return self._run_device_autodetect(samples)
-            return self._run_device(samples, in_encoding)
+            return self._run_device(samples, in_encoding, wire_pack)
         if in_encoding:
             samples = self._expand_u8(samples, in_encoding)
         if samples.dtype == np.int16:
@@ -181,7 +185,7 @@ class Receiver:
 
     # ------------------------------------------------------------------
     def _run_device(self, samples: np.ndarray,
-                    in_encoding: str = None) -> int:
+                    in_encoding: str = None, wire_pack="auto") -> int:
         """Event-stream path: ops/device_rx.py runs the whole pipeline on
         device; this loop only renders events (codecs + protocol lines).
         Long streams go through the pipelined receiver so host->device
@@ -196,7 +200,7 @@ class Receiver:
         for seg_events in rxer.run(
                 np.ascontiguousarray(samples, dtype),
                 opts.confidence_threshold, opts.confidence_search_limit,
-                in_encoding=in_encoding):
+                in_encoding=in_encoding, wire_pack=wire_pack):
             rc = self.render_events(*seg_events)
         return rc
 
