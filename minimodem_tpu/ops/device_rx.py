@@ -1684,21 +1684,21 @@ class PipelinedReceiver:
 
         geo = self.geo
 
-        def put_raw(seg, tt):
+        def prep_raw(seg, tt, raw_flag):
             x = alloc_wire((1, tt + geo.halo), samples.dtype,
                            None if dp is not None else in_encoding)
             m = min(len(seg), x.shape[1])
             x[0, :m] = seg[:m]
-            return jax.device_put(x), False
+            return x, raw_flag
 
-        def put(seg, tt):
+        def prep(seg, tt):
+            """Host wire buffer for one segment (no device calls)."""
             if dp is None:
-                return put_raw(seg, tt)
+                return prep_raw(seg, tt, False)
             if len(seg) > tt + geo.halo:
                 # clipped segment: the raw buffer zero-fills where the
                 # packed hold-tail would survive the mask — keep parity
-                x, _ = put_raw(seg, tt)
-                return x, True
+                return prep_raw(seg, tt, True)
             # pack the real samples at the shared layout; the
             # receiver's zero-extended payload reconstructs the zero
             # fill bit-exactly and masks past totals+extra
@@ -1706,11 +1706,10 @@ class PipelinedReceiver:
             try:
                 buf = wirepack.pack(seg, dp[2], dp[0], dp[1], dp[3])
             except ValueError:              # denser content: raw wire
-                x, _ = put_raw(seg, tt)
-                return x, True
+                return prep_raw(seg, tt, True)
             # upload as int16 (measured ~17% faster per byte than u8
             # on the tunnel); row_bytes is even by construction
-            return jax.device_put(buf.view(np.int16)[None, :]), False
+            return buf.view(np.int16)[None, :], False
 
         totals_nf = np.asarray([total_nf], np.int32)
         totals_f = np.asarray([tail_total], np.int32)
@@ -1718,25 +1717,34 @@ class PipelinedReceiver:
         segs = [(s0, t_x, totals_nf, False) for s0 in starts]
         segs.append((tail_start, t_x_f, totals_f, True))
 
-        def put_seg(j):
+        def prep_seg(j):
             s0, tt, _, final = segs[j]
             end = len(samples) if final else s0 + self.segment_len
-            return put(samples[s0:end], tt)
+            return prep(samples[s0:end], tt)
 
-        # h2d put-ahead depth 2: the link-bound e2e path must keep the
-        # tunnel busy through the d2h collect + host render gap between
-        # dispatches (a single put-ahead leaves the link idle while
-        # collect blocks); uploads for segments i+1 AND i+2 ride on
-        # segment i's decode + collection.  put_seg runs on a worker
-        # thread so the host-side pack (wirepack) / copy never
-        # serializes into the dispatch loop.
+        def upload(fut):
+            x, raw = fut.result()
+            return jax.device_put(x), raw
+
+        # Two-stage put-ahead, depth 2: the link-bound e2e path must
+        # keep the tunnel busy through the d2h collect + host render
+        # gap between dispatches (a single put-ahead leaves the link
+        # idle while collect blocks), so uploads for segments i+1 AND
+        # i+2 ride on segment i's decode + collection.  Host prep
+        # (wirepack pack / buffer copy) runs on its OWN 2-worker pool:
+        # the pack runs ~62 MB/s single-thread — the same order as the
+        # tunnel — so prep must parallelize across segments or it
+        # paces the pipeline; device_put stays on ONE worker so
+        # uploads hit the link in segment order.
         from concurrent.futures import ThreadPoolExecutor
 
         AHEAD = 2
-        ex = ThreadPoolExecutor(max_workers=1)
+        prep_ex = ThreadPoolExecutor(max_workers=2)
+        up_ex = ThreadPoolExecutor(max_workers=1)
         try:
-            devq = [ex.submit(put_seg, j)
-                    for j in range(min(AHEAD, len(segs)))]
+            packq = [prep_ex.submit(prep_seg, j)
+                     for j in range(min(AHEAD, len(segs)))]
+            devq = [up_ex.submit(upload, f) for f in packq]
             carry = carry0
             for i, (_, _, totals_i, final) in enumerate(segs):
                 dev, raw = devq[i].result()
@@ -1746,11 +1754,13 @@ class PipelinedReceiver:
                     # segment's origin (on device — no host sync)
                     carry = rebase(carry_of(out))
                 if i + AHEAD < len(segs):
-                    devq.append(ex.submit(put_seg, i + AHEAD))
+                    f = prep_ex.submit(prep_seg, i + AHEAD)
+                    devq.append(up_ex.submit(upload, f))
                 devq[i] = None              # release the device buffer
                 yield collect(out)[0]
         finally:
-            ex.shutdown(wait=True)
+            up_ex.shutdown(wait=True)
+            prep_ex.shutdown(wait=True)
 
 
 class DeviceStreamReceiver:

@@ -13,7 +13,7 @@ sys.path.insert(0, "/root/repo")
 from minimodem_tpu.bench import decode_throughput  # noqa: E402
 
 
-for audio, enc in [(120.0, "pcm16"), (120.0, "ulaw")]:
+for audio, enc in [(120.0, None), (120.0, "ulaw")]:
     try:
         r = decode_throughput("1200", audio_seconds=audio, repeats=3,
                               encoding=enc)
