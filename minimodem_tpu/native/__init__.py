@@ -91,6 +91,20 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         lib.mm_flac_read.restype = ctypes.c_longlong
         lib.mm_flac_read.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_longlong]
+    if hasattr(lib, "mm_wirepack_pack"):
+        lib.mm_wirepack_count.restype = ctypes.c_longlong
+        lib.mm_wirepack_count.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_int]
+        lib.mm_wirepack_scan.restype = None
+        lib.mm_wirepack_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_void_p]
+        lib.mm_wirepack_pack.restype = ctypes.c_longlong
+        lib.mm_wirepack_pack.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_int, ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_longlong]
     lib.mm_hostrx_run.restype = ctypes.c_longlong
     lib.mm_hostrx_run.argtypes = [
         ctypes.POINTER(MmRxConfig),

@@ -76,6 +76,19 @@ _WIDTHS = (4, 6, 8, 10, 12, 14)
 _EXC_ALIGN = 1 << 14            # exception capacity bucket
 
 
+def _native():
+    """The native packer (wirepack.cpp), or None.  The NumPy packer
+    below is the behavioral reference (byte-parity pinned by
+    tests/test_wirepack.py); the C++ one exists because the pack must
+    run far faster than the ~60 MB/s tunnel to pay for itself on the
+    link-bound e2e path."""
+    from ..native import load
+
+    lib = load()
+    return lib if lib is not None and hasattr(lib, "mm_wirepack_pack") \
+        else None
+
+
 def delta_encode(x: np.ndarray, k: int) -> np.ndarray:
     """k passes of first differences (each pass keeps element 0), int32.
     Inverse of k inclusive scans."""
@@ -107,16 +120,31 @@ def choose_params(x: np.ndarray, max_ratio: float = 0.92,
                             for i in range(nwin)])
     n = len(x)
     best = None                     # (bits, k, w)
-    a = x.astype(np.int32)
-    for k in range(MAX_ORDER + 1):
-        if k:
-            a = np.concatenate([a[:1], np.diff(a)])
-        ab = np.abs(a[k:])
-        for w in _WIDTHS:
-            n_exc = int((ab >= (1 << (w - 1))).sum())
-            bits = _size_bits(n, w, n_exc)
-            if best is None or bits < best[0]:
-                best = (bits, k, w)
+    lib = _native()
+    if lib is not None:
+        import ctypes
+
+        xs = np.ascontiguousarray(x)
+        counts = np.zeros((MAX_ORDER + 1, len(_WIDTHS)), np.int64)
+        lib.mm_wirepack_scan(
+            xs.ctypes.data_as(ctypes.c_void_p), n, MAX_ORDER,
+            counts.ctypes.data_as(ctypes.c_void_p))
+        for k in range(MAX_ORDER + 1):
+            for wi, w in enumerate(_WIDTHS):
+                bits = _size_bits(n, w, int(counts[k, wi]))
+                if best is None or bits < best[0]:
+                    best = (bits, k, w)
+    else:
+        a = x.astype(np.int32)
+        for k in range(MAX_ORDER + 1):
+            if k:
+                a = np.concatenate([a[:1], np.diff(a)])
+            ab = np.abs(a[k:])
+            for w in _WIDTHS:
+                n_exc = int((ab >= (1 << (w - 1))).sum())
+                bits = _size_bits(n, w, n_exc)
+                if best is None or bits < best[0]:
+                    best = (bits, k, w)
     if best is None or best[0] >= max_ratio * 16 * n:
         return None
     return best[1], best[2]
@@ -137,6 +165,13 @@ def _layout(n_packed: int, k: int, w: int, e_cap: int):
 def count_exceptions(x: np.ndarray, k: int, w: int) -> int:
     """Exact exception count pack() will emit for samples x (incl.
     dummy records for >65535-sample gaps)."""
+    lib = _native()
+    if lib is not None and x.dtype == np.int16:
+        import ctypes
+
+        xs = np.ascontiguousarray(x)
+        return int(lib.mm_wirepack_count(
+            xs.ctypes.data_as(ctypes.c_void_p), len(xs), k, w))
     body = delta_encode(x, k)[k:]
     pos = np.nonzero(np.abs(body) >= (1 << (w - 1)))[0]
     return len(_with_dummies(pos, body)[0]) if len(pos) else 0
@@ -167,7 +202,34 @@ def pack(x: np.ndarray, n_packed: int, k: int, w: int, e_cap: int,
     """Pack int16 samples (len(x) <= n_packed; the shortfall decodes
     as zero deltas, masked on device) into a u8 wire row.  Raises
     ValueError when the exceptions exceed e_cap (callers fall back to
-    the raw wire)."""
+    the raw wire).  Delegates to the native packer (wirepack.cpp,
+    byte-identical — pinned by test_native_pack_byte_parity) when the
+    library is available."""
+    lib = _native()
+    if lib is not None:
+        import ctypes
+
+        assert x.dtype == np.int16 and w % 2 == 0
+        row_b = row_bytes(n_packed, k, w, e_cap)
+        if out is None:
+            out = np.empty(row_b, np.uint8)
+        elif len(out) < row_b:
+            raise ValueError(f"wire capacity {len(out)} < row {row_b}")
+        xs = np.ascontiguousarray(x)
+        rc = lib.mm_wirepack_pack(
+            xs.ctypes.data_as(ctypes.c_void_p), len(xs), n_packed,
+            k, w, e_cap, out.ctypes.data_as(ctypes.c_void_p), len(out))
+        if rc == -1:
+            raise ValueError(f"exceptions exceed capacity {e_cap}")
+        if rc < 0:
+            raise ValueError(f"native pack rejected args rc={rc}")
+        return out
+    return _pack_py(x, n_packed, k, w, e_cap, out)
+
+
+def _pack_py(x: np.ndarray, n_packed: int, k: int, w: int, e_cap: int,
+             out: np.ndarray = None) -> np.ndarray:
+    """Pure-NumPy packer — the behavioral reference for wirepack.cpp."""
     assert x.dtype == np.int16 and w % 2 == 0
     d = delta_encode(x, k)
     body = d[k:]

@@ -146,6 +146,79 @@ def test_segmented_raw_fallback_parity():
     assert per[False] == per[True]
 
 
+def _native_lib():
+    lib = wp._native()
+    if lib is None:
+        pytest.skip("native wirepack unavailable")
+    return lib
+
+
+def test_native_pack_byte_parity():
+    """mm_wirepack_pack emits the exact bytes of the NumPy reference
+    packer for tones, silence, escapes, and random cuts/params."""
+    _native_lib()
+    rng = np.random.default_rng(19)
+    cases = [_tone(2200, 48000), np.zeros(9000, np.int16),
+             np.array([0, 0, 0, 0, 32767, -32768, 32767, -32768] * 40,
+                      np.int16)]
+    for _ in range(15):
+        n = int(rng.integers(50, 4000))
+        x = (np.sin(np.linspace(0, rng.uniform(1, 300), n))
+             * int(rng.integers(1, 32000))).astype(np.int16)
+        x[rng.integers(0, n, 5)] = rng.integers(
+            -32768, 32768, 5).astype(np.int16)
+        cases.append(x)
+    for i, x in enumerate(cases):
+        for k in (0, 2, wp.MAX_ORDER):
+            for w in (6, 8, 12):
+                e_cap = wp.exc_capacity(wp.count_exceptions(x, k, w))
+                n_packed = len(x) + int(rng.integers(0, 300))
+                a = wp.pack(x, n_packed, k, w, e_cap)
+                b = wp._pack_py(x, n_packed, k, w, e_cap)
+                assert np.array_equal(a, b), (i, k, w)
+
+
+def test_native_count_and_scan_parity():
+    """mm_wirepack_count matches the NumPy count (incl. >65535-gap
+    dummies), and mm_wirepack_scan reproduces the chooser's per-(k, w)
+    exception counts so choose_params picks identical params."""
+    import ctypes
+
+    lib = _native_lib()
+    rng = np.random.default_rng(23)
+    # a >65535 gap between exceptions forces dummy records
+    gap = np.zeros(70000, np.int16)
+    gap[10] = 32000
+    gap[69990] = -32000
+    cases = [_tone(2200, 48000), gap,
+             rng.integers(-2000, 2000, 5000).astype(np.int16)]
+    for x in cases:
+        for k in (0, 1, 3):
+            for w in (6, 8):
+                body = wp.delta_encode(x, k)[k:]
+                pos = np.nonzero(np.abs(body) >= (1 << (w - 1)))[0]
+                ref = (len(wp._with_dummies(pos, body)[0])
+                       if len(pos) else 0)
+                got = int(lib.mm_wirepack_count(
+                    np.ascontiguousarray(x).ctypes.data_as(
+                        ctypes.c_void_p), len(x), k, w))
+                assert got == ref, (k, w)
+        # scan vs the NumPy chooser scoring loop
+        counts = np.zeros((wp.MAX_ORDER + 1, len(wp._WIDTHS)), np.int64)
+        lib.mm_wirepack_scan(
+            np.ascontiguousarray(x).ctypes.data_as(ctypes.c_void_p),
+            len(x), wp.MAX_ORDER,
+            counts.ctypes.data_as(ctypes.c_void_p))
+        a = x.astype(np.int32)
+        for k in range(wp.MAX_ORDER + 1):
+            if k:
+                a = np.concatenate([a[:1], np.diff(a)])
+            ab = np.abs(a[k:])
+            for wi, w in enumerate(wp._WIDTHS):
+                assert int(counts[k, wi]) == int(
+                    (ab >= (1 << (w - 1))).sum()), (k, w)
+
+
 def test_demodulate_kwarg_and_env(monkeypatch):
     m, payload, s16 = _modem_signal(reps=1)
     monkeypatch.setenv("MINIMODEM_TPU_WIREPACK", "1")
