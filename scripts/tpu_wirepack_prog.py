@@ -48,28 +48,30 @@ K = 16
 
 
 def build_chained(token, extra, wire_of_tscore):
+    """K back-to-back executes with a carry data dependency; the
+    per-execute fixed dispatch cost (~25-30 ms on this tunnel) is the
+    same for both variants, so the raw-vs-dpack DELTA per segment is
+    the program+transfer difference."""
     f, _, t_score = _mega_run_fn(pr.key, t_total, 1, False, token, False,
                                  u8_extra=extra)
     wire = wire_of_tscore(t_score)
 
     def run_k(dev, tot, ci, cf):
-        def body(i, carry):
-            ci, cf = carry
+        out = None
+        for _ in range(K):
             out = f(dev, tot, thr2, ci, cf)
-            return (out[2], out[3])
+            ci, cf = out[2], out[3]
+        return out
 
-        return jax.lax.fori_loop(0, K, body, (ci, cf))
-
-    rk = jax.jit(run_k)
     dev = jax.device_put(wire)
     tot = jax.device_put(totals)
     ci = jax.device_put(carry0[0])
     cf = jax.device_put(carry0[1])
-    out = rk(dev, tot, ci, cf)
-    np.asarray(out[0][:1, :1])          # warm + real sync
+    out = run_k(dev, tot, ci, cf)
+    np.asarray(out[2][:1, :1])          # warm + real sync (ci carry)
     t0 = time.perf_counter()
-    out = rk(dev, tot, ci, cf)
-    np.asarray(out[0][:1, :1])
+    out = run_k(dev, tot, ci, cf)
+    np.asarray(out[2][:1, :1])
     return (time.perf_counter() - t0) * 1e3 / K
 
 
