@@ -14,6 +14,20 @@ from .sigio import Direction, SampleFormat, open_stream
 from .ops.tx import ToneGenerator
 
 
+def _encode_wire(samples: np.ndarray, encoding: str) -> np.ndarray:
+    """float [-1, 1) samples -> 1-byte/sample telephony wire (u-law,
+    A-law, or offset-binary PCM8), via the container codecs so the
+    bench wire matches file ingest byte-exactly."""
+    from .sigio.containers import _alaw_encode, _ulaw_encode
+
+    s16 = np.clip(np.rint(samples * 32768.0), -32768,
+                  32767).astype(np.int16)
+    enc_fn = {"ulaw": _ulaw_encode, "alaw": _alaw_encode,
+              "pcm8": lambda v: ((v.astype(np.int32) >> 8) + 128)
+              .astype(np.uint8)}[encoding]
+    return enc_fn(s16)
+
+
 def _cpu_model() -> str:
     try:
         with open("/proc/cpuinfo") as f:
@@ -121,14 +135,7 @@ def decode_throughput(mode: str = "1200", audio_seconds: float = 60.0,
     payload = _bench_payload(m.cfg, audio_seconds)
     samples = m.modulate(payload)
     if encoding is not None:
-        from .sigio.containers import _alaw_encode, _ulaw_encode
-
-        s16v = np.clip(np.rint(samples * 32768.0), -32768,
-                       32767).astype(np.int16)
-        enc_fn = {"ulaw": _ulaw_encode, "alaw": _alaw_encode,
-                  "pcm8": lambda v: ((v.astype(np.int32) >> 8) + 128)
-                  .astype(np.uint8)}[encoding]
-        samples = enc_fn(s16v)
+        samples = _encode_wire(samples, encoding)
     elif s16:
         samples = np.clip(samples * 32768.0, -32768, 32767).astype(np.int16)
     audio_sec = len(samples) / sample_rate
@@ -351,13 +358,7 @@ def fleet_ingest_throughput(mode: str = "1200",
                 for i in range(batch)]
     waves = [m.modulate(p) for p in payloads]
     if encoding is not None:
-        from .sigio.containers import _alaw_encode, _ulaw_encode
-
-        enc_fn = {"ulaw": _ulaw_encode, "alaw": _alaw_encode,
-                  "pcm8": lambda v: ((v.astype(np.int32) >> 8) + 128)
-                  .astype(np.uint8)}[encoding]
-        waves = [enc_fn(np.clip(np.rint(w * 32768.0), -32768,
-                                32767).astype(np.int16)) for w in waves]
+        waves = [_encode_wire(w, encoding) for w in waves]
     L = max(len(w) for w in waves)
     x = np.zeros((batch, L), np.uint8 if encoding else np.float32)
     for i, w in enumerate(waves):

@@ -113,6 +113,9 @@ int64_t mm_wirepack_pack(const int16_t* x, int64_t n, int64_t n_packed,
         return -2;
     const int64_t G0 = (n_packed - k + 7) / 8;
     const int64_t G = G0 > 1 ? G0 : 1;
+    // body must fit the 8-lane base planes (the NumPy packer's scatter
+    // would raise past this; silently dropping the tail corrupts bytes)
+    if (n - k > 8 * G) return -2;
     const int64_t base16 = HEADER_BYTES / 2;
     const int64_t pos16 = base16 + G * (w / 2);
     const int64_t val16 = pos16 + e_cap;

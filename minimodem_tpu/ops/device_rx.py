@@ -1457,10 +1457,13 @@ class DeviceReceiver:
             self.compact, stop_on_overflow=self.stop_on_overflow)
         from .wirepack import parse_spec as _wp_parse
 
-        # dpack rows pass through at the caller's capacity
-        row = L if _wp_parse(in_dtype) else t_total + geo.halo
-        x = alloc_wire((b, row), samples.dtype, in_encoding)
-        x[:, :min(L, row)] = samples[:, :row]
+        if _wp_parse(in_dtype):
+            # dpack rows pass through at the caller's capacity
+            x = np.ascontiguousarray(samples)
+        else:
+            row = t_total + geo.halo
+            x = alloc_wire((b, row), samples.dtype, in_encoding)
+            x[:, :min(L, row)] = samples[:, :row]
         if carry is None:
             carry = zero_carry(b)
         out = fn(
@@ -1556,9 +1559,16 @@ class PipelinedReceiver:
                 k, w = dp
                 e_cap = wirepack.exc_capacity(
                     wirepack.count_exceptions(samples, k, w))
+                # pack at the same pow2 bucket the RX builder uses for
+                # t_total so streams of nearby lengths share one
+                # executable (the shortfall decodes as held deltas,
+                # masked past totals — the multi-segment final-segment
+                # path, which packs every tail at segment_len)
+                n_packed = _round_up_pow2(
+                    n + self.cfg.nsamples_overscan + 1)
                 wire = wirepack.pack(
-                    samples, n, k, w, e_cap).view(np.int16)[None, :]
-                in_encoding = wirepack.spec_str(k, w, n, e_cap)
+                    samples, n_packed, k, w, e_cap).view(np.int16)[None, :]
+                in_encoding = wirepack.spec_str(k, w, n_packed, e_cap)
             events, _ = one_shot.run_events_batch(
                 wire, [n], conf_threshold, conf_search_limit,
                 in_encoding=in_encoding)
@@ -1669,8 +1679,8 @@ class PipelinedReceiver:
             carry0 = zero_carry(1)
 
         dispatch0, t_x, t_x_f = build_fns(in_dtype, u8x)
-        # a dpack segment whose packed size exceeds the stream's wire
-        # capacity (set by segment 0 + headroom, wirepack.row_capacity)
+        # a dpack segment whose exception records exceed the stream's
+        # capacity (set by segment 0 + headroom, wirepack.exc_capacity)
         # falls back to the raw int16 wire for that segment; the raw
         # fns share the carry format, built lazily on first need
         raw_cell = [dispatch0 if dp is None else None]

@@ -1325,11 +1325,14 @@ class MegaReceiver:
                                                finalize)
         from .wirepack import parse_spec
 
-        # dpack rows pass through at the caller's capacity (the wire
-        # row IS the upload); other encodings fill a sized buffer
-        row = L if parse_spec(in_dtype) else t_score + geo.halo
-        x = alloc_wire((b, row), samples.dtype, in_encoding)
-        x[:, :min(L, row)] = samples[:, :row]
+        if parse_spec(in_dtype):
+            # dpack rows pass through at the caller's capacity (the
+            # wire row IS the upload)
+            x = np.ascontiguousarray(samples)
+        else:
+            row = t_score + geo.halo
+            x = alloc_wire((b, row), samples.dtype, in_encoding)
+            x[:, :min(L, row)] = samples[:, :row]
         thr2 = np.asarray([conf_threshold, conf_search_limit], np.float32)
         ci, cf = self.carry_to_arrays(carry, b)
         out = fn(jnp.asarray(x), jnp.asarray(totals), jnp.asarray(thr2),

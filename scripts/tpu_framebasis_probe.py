@@ -70,20 +70,21 @@ def matmul_probe(rows, kdim, cols, dtype, passes, label, iters=40):
     w_np = rng.standard_normal((kdim, cols)).astype(np.float32)
 
     def make_step():
+        # NumPy constants, converted INSIDE the trace (CLAUDE.md: jnp
+        # arrays captured in a jitted closure lower as device constants,
+        # ~70 s each on this harness)
         if dtype == "f32_highest":
-            a = jnp.asarray(a_np)
-            w = jnp.asarray(w_np)
-
             def step(acc):
+                a = jnp.asarray(a_np)
+                w = jnp.asarray(w_np)
                 p = jnp.dot(a + acc * jnp.float32(1e-30), w,
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
                 return p[0, 0] * jnp.float32(1e-30)
         else:                                    # bf16 x `passes`
-            a = jnp.asarray(a_np, jnp.bfloat16)
-            w = jnp.asarray(w_np, jnp.bfloat16)
-
             def step(acc):
+                a = jnp.asarray(a_np, jnp.bfloat16)
+                w = jnp.asarray(w_np, jnp.bfloat16)
                 s = jnp.float32(0.0)
                 for j in range(passes):
                     # distinct per-pass A so XLA cannot CSE the dots

@@ -70,13 +70,12 @@ def test_same(tmp_wav):
     self_test(read_fixture(ASCII_FIXTURE), tmp_wav(), ["same"])
 
 
-@pytest.mark.smoke
 def test_ascii7(tmp_wav):
-    # reference: tests/81-ascii7.test
+    # reference: tests/81-ascii7.test  (smoke keeps test_1200 for the
+    # ascii geometry and test_rtty for baudot/fractional stop bits)
     self_test(read_fixture(ASCII_FIXTURE), tmp_wav(), ["-7", "1200"])
 
 
-@pytest.mark.smoke
 def test_tdd(tmp_wav):
     # reference: tests/81-tdd.test
     self_test(read_fixture(BAUDOT_FIXTURE), tmp_wav(), ["tdd"])
