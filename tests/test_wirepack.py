@@ -116,6 +116,21 @@ def test_one_shot_decode_parity():
     assert ev_raw == ev_pk
 
 
+def test_one_shot_bucketed_lengths():
+    """One-shot packed decodes of nearby lengths share one executable:
+    the spec token buckets n_packed to the RX builder's pow2 bucket, so
+    the shortfall (held deltas past the real samples) must stay masked
+    past totals — decode and events identical to the raw wire at BOTH
+    a bucket-aligned and a mid-bucket length."""
+    m, payload, s16 = _modem_signal()
+    for cut in (len(s16), len(s16) - 12345):
+        x = s16[:cut]
+        raw, ev_raw = m.demodulate(x, return_events=True, wire_pack=False)
+        pk, ev_pk = m.demodulate(x, return_events=True, wire_pack=True)
+        assert raw == pk
+        assert ev_raw == ev_pk
+
+
 def test_segmented_decode_parity():
     m, payload, s16 = _modem_signal()
     per = {}
