@@ -91,6 +91,11 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         lib.mm_flac_read.restype = ctypes.c_longlong
         lib.mm_flac_read.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_longlong]
+    if hasattr(lib, "mm_gsm610_decode"):
+        lib.mm_gsm610_decode.restype = ctypes.c_longlong
+        lib.mm_gsm610_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_longlong]
     if hasattr(lib, "mm_wirepack_pack"):
         lib.mm_wirepack_count.restype = ctypes.c_longlong
         lib.mm_wirepack_count.argtypes = [

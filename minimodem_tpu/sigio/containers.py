@@ -242,6 +242,22 @@ class Aiff(_Codec):
             stream._mem_pos = 0
             stream._src_dtype = "mem"
             stream._data_remaining = stream._mem_buf.nbytes
+        elif compression == b"GSM ":
+            # GSM 6.10, plain 33-byte frames (no WAV49 two-frame
+            # packing outside WAV/W64); libsndfile trims the decoded
+            # run to COMM's numSampleFrames — match it
+            from .wavfile import _gsm610_decode
+            data = fh.read(data_nbytes)
+            vals = _gsm610_decode(data, wav49=False)
+            vals = vals[: _nframes * max(ch, 1)]
+            stream.rate = rate
+            stream.channels = ch
+            stream._src_bits = 16
+            stream._src_fmt_tag = 0x31
+            stream._mem_buf = stream._convert(vals, src_bits=16)
+            stream._mem_pos = 0
+            stream._src_dtype = "mem"
+            stream._data_remaining = stream._mem_buf.nbytes
         else:
             raise RuntimeError(
                 f"{stream.path}: unsupported AIFC compression "
@@ -416,6 +432,19 @@ class W64(_Codec):
                         coefs = [struct.unpack_from("<hh", ext, 6 + 4 * i)
                                  for i in range(ncoef)]
                 vals = _ms_decode(data, block_align, nch, spb, coefs)
+            stream.rate = rate
+            stream.channels = ch
+            stream._src_bits = 16
+            stream._src_fmt_tag = tag
+            stream._mem_buf = stream._convert(vals, src_bits=16)
+            stream._mem_pos = 0
+            stream._src_dtype = "mem"
+            stream._data_remaining = stream._mem_buf.nbytes
+            return
+        if tag == 0x31:                # GSM 6.10, WAV49 packing as in WAV
+            from .wavfile import _gsm610_decode
+            data = fh.read(data_nbytes)
+            vals = _gsm610_decode(data, wav49=True)
             stream.rate = rate
             stream.channels = ch
             stream._src_bits = 16

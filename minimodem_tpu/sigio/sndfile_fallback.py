@@ -1,5 +1,6 @@
 """Runtime ctypes fallback onto a host libsndfile for read subformats
-the native reader does not decode (GSM 6.10 and anything else exotic).
+the native reader does not decode (G.72x ADPCM, DWVW, and anything
+else exotic; GSM 6.10 now decodes natively via native/gsm610.cpp).
 
 This mirrors the reference's own architecture: its entire file layer IS
 libsndfile (reference: src/simpleaudio-sndfile.c:46-70 reads any

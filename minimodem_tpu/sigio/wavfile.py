@@ -11,9 +11,10 @@ mirroring the reference's extension table at
 src/simpleaudio-sndfile.c:111-157):
 - .wav  : RIFF/WAVE; writes PCM16/24/32 (pcm_bits) or IEEE-float32, reads
           PCM8/16/24/32, float32/64, EXTENSIBLE, G.711 u-law/A-law,
-          IMA/DVI ADPCM, and Microsoft ADPCM (the reference accepts any
+          IMA/DVI ADPCM, Microsoft ADPCM, and GSM 6.10 (native RPE-LTP
+          decoder, native/gsm610.cpp) — the reference accepts any
           libsndfile-readable subformat via sf_readf_float,
-          src/simpleaudio-sndfile.c:46-70)
+          src/simpleaudio-sndfile.c:46-70
 - .flac : reads via the native decoder (native/flacdec.cpp), writes via
           the deterministic encoder (sigio/flacenc.py)
 - .ogg  : Vorbis via the runtime-loaded Xiph libraries
@@ -43,6 +44,7 @@ _WAVE_FORMAT_IEEE_FLOAT = 3
 _WAVE_FORMAT_ALAW = 6
 _WAVE_FORMAT_MULAW = 7
 _WAVE_FORMAT_IMA_ADPCM = 0x11
+_WAVE_FORMAT_GSM610 = 0x31
 
 _AU_MAGIC = b".snd"
 _AU_ENC_ULAW = 1
@@ -226,6 +228,43 @@ def _ms_decode(data: bytes, block_align: int, channels: int,
     return out.transpose(0, 2, 1).reshape(-1)
 
 
+# ---- GSM 06.10 (WAV format tag 0x31, AIFF 'GSM ') ------------------------
+def _gsm610_decode(data: bytes, wav49: bool) -> np.ndarray:
+    """Decode GSM 06.10 RPE-LTP frames -> int16 samples via the
+    from-scratch native decoder (native/gsm610.cpp), sample-exact vs
+    libsndfile's embedded libgsm (the reference reads GSM-compressed
+    files transparently through sf_readf_float,
+    src/simpleaudio-sndfile.c:46-70).  WAV49 = the WAV/W64 two-frames-
+    per-65-byte-block packing; plain 33-byte frames otherwise."""
+    import ctypes
+
+    from .. import native
+
+    lib = native.load()
+    if lib is None or not hasattr(lib, "mm_gsm610_decode"):
+        raise RuntimeError(
+            "GSM 6.10 read needs the native library "
+            "(make -C minimodem_tpu/native)")
+    bsz, spb = (65, 320) if wav49 else (33, 160)
+    rem = len(data) % bsz
+    if rem:
+        # libsndfile's block buffer is not cleared on a short read: a
+        # truncated final block decodes the fresh bytes followed by the
+        # PREVIOUS block's stale tail (zeros before the first block) —
+        # verified against the 1.1.0 oracle
+        nfull = len(data) // bsz
+        stale = (data[(nfull - 1) * bsz + rem: nfull * bsz]
+                 if nfull else b"\x00" * (bsz - rem))
+        data = data + stale
+    out = np.empty((len(data) // bsz) * spb, np.int16)
+    got = lib.mm_gsm610_decode(
+        data, len(data), 1 if wav49 else 0,
+        out.ctypes.data_as(ctypes.c_void_p), out.size)
+    if got < 0:
+        raise RuntimeError("undecodable GSM 6.10 stream")
+    return out[:got]
+
+
 def _container_from_path(path: str) -> str:
     ext = os.path.splitext(path)[1].lower().lstrip(".")
     if ext in ("wav", "wave"):
@@ -283,12 +322,12 @@ class FileStream(Stream):
             try:
                 self._read_header()
             except RuntimeError:
-                # subformats the native reader doesn't decode (GSM 6.10,
-                # anything else exotic): defer to a host libsndfile when
-                # one exists — the reference's own architecture
-                # (src/simpleaudio-sndfile.c:46-70 reads any subformat
-                # transparently through sf_readf_float).  Without one,
-                # the native reader's error stands.
+                # subformats the native reader doesn't decode (G.72x,
+                # DWVW, anything else exotic): defer to a host
+                # libsndfile when one exists — the reference's own
+                # architecture (src/simpleaudio-sndfile.c:46-70 reads
+                # any subformat transparently through sf_readf_float).
+                # Without one, the native reader's error stands.
                 if not self._sndfile_fallback():
                     raise
 
@@ -521,6 +560,21 @@ class FileStream(Stream):
                 fact_frames = None
             if fact_frames is not None:
                 vals = vals[: fact_frames * self.channels]
+            self._src_bits = 16
+            self._src_fmt_tag = fmt_tag
+            self._mem_buf = self._convert(vals, src_bits=16)
+            self._mem_pos = 0
+            self._src_dtype = "mem"
+            self._data_remaining = self._mem_buf.nbytes
+            return
+        elif fmt_tag == _WAVE_FORMAT_GSM610:
+            data = self._fh.read(self._data_remaining)
+            if self._data_remaining & 1:
+                # libsndfile counts the RIFF pad byte into the GSM data
+                # length, so an odd block count decodes one extra
+                # zero-filled block (verified against the 1.1.0 oracle)
+                data += self._fh.read(1)
+            vals = _gsm610_decode(data, wav49=True)
             self._src_bits = 16
             self._src_fmt_tag = fmt_tag
             self._mem_buf = self._convert(vals, src_bits=16)

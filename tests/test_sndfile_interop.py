@@ -149,10 +149,10 @@ _SUB_PCM_24, _SUB_PCM_32, _SUB_DOUBLE, _SUB_IMA = 0x03, 0x04, 0x07, 0x12
 _SUB_MS, _SUB_GSM = 0x13, 0x20
 SUBFORMAT_CASES = [
     # every (major, subformat) combination the bundled libsndfile's
-    # sf_format_check accepts for write; GSM 6.10 reads through the
-    # runtime ctypes-libsndfile fallback (sigio/sndfile_fallback.py) —
-    # the reference's own architecture for every one of these
-    # (src/simpleaudio-sndfile.c:46-70)
+    # sf_format_check accepts for write — including GSM 6.10, decoded
+    # by the from-scratch native RPE-LTP decoder (native/gsm610.cpp);
+    # the reference reads every one of these transparently through
+    # sf_readf_float (src/simpleaudio-sndfile.c:46-70)
     ("wav", _SUB_ULAW), ("wav", _SUB_ALAW), ("wav", _SUB_PCM_U8),
     ("wav", _SUB_IMA), ("wav", _SUB_MS), ("wav", _SUB_GSM),
     ("w64", _SUB_GSM), ("aiff", _SUB_GSM),
@@ -274,10 +274,10 @@ def test_ulaw_wav_demodulates(tmp_path):
 
 
 def test_gsm_wav_demodulates(tmp_path):
-    """The round-4 VERDICT's done-bar: a GSM-6.10-compressed WAV (the
-    one subformat the native reader defers to the libsndfile fallback)
-    decodes byte-exactly through our RX — GSM's voice-codec distortion
-    stays far above the demodulator's noise floor."""
+    """The round-4 VERDICT's done-bar: a GSM-6.10-compressed WAV
+    (decoded by the from-scratch native RPE-LTP decoder) decodes
+    byte-exactly through our RX — GSM's voice-codec distortion stays
+    far above the demodulator's noise floor."""
     from minimodem_tpu.models.modem import FskModem
 
     m = FskModem("1200")
@@ -290,15 +290,67 @@ def test_gsm_wav_demodulates(tmp_path):
     assert m.demodulate(back) == b"gsm 6.10 subformat rx"
 
 
+@pytest.mark.parametrize("ext", ["wav", "w64", "aiff"])
+def test_gsm_native_length_edges(tmp_path, ext):
+    """GSM frame-count semantics differ per container — WAV counts the
+    RIFF pad byte into the data length and decodes one extra block from
+    the codec's stale block buffer, W64 reads exactly the recorded
+    blocks, AIFF trims to COMM's numSampleFrames — all sample-exact vs
+    the oracle on odd lengths (the main matrix writes exact multiples
+    of the 320/160-sample block, which cannot see any of this)."""
+    rng = np.random.default_rng(7)
+    for n in (321, 48137):
+        s16 = (rng.standard_normal(n) * 8000).astype(np.int16)
+        path = _ext_path(tmp_path, ext, f"gsmlen{n}")
+        S.write(path, s16, 48000, S.MAJOR_BY_EXT[ext] | _SUB_GSM)
+        want, rate, _ = S.read(path)
+        got, rate2, _ = read_all(path, SampleFormat.FLOAT)
+        assert rate2 == rate and len(got) == len(want)
+        assert np.array_equal(got, want), (ext, n)
+
+
+_SUB_G721_32 = 0x30  # CCITT G.721 32 kbps ADPCM — fallback-only subformat
+
+
+def test_gsm_native_without_fallback(tmp_path, monkeypatch):
+    """GSM 6.10 decodes through the from-scratch native decoder even
+    with no libsndfile on the host — the fallback is not involved."""
+    import minimodem_tpu.sigio.sndfile_fallback as fb
+
+    path = _ext_path(tmp_path, "wav", "gsmnative")
+    S.write(path, S16, 48000, S.MAJOR_BY_EXT["wav"] | _SUB_GSM)
+    want, rate, _ = S.read(path)
+    monkeypatch.setattr(fb, "read_file", lambda *a: None)
+    got, rate2, _ = read_all(path, SampleFormat.FLOAT)
+    assert rate2 == rate
+    assert np.array_equal(got, want)
+
+
+def test_fallback_decodes_remaining_exotics(tmp_path):
+    """Subformats with no native decoder (G.721 ADPCM here) still read
+    exactly through the runtime ctypes-libsndfile fallback — the
+    reference's own architecture (src/simpleaudio-sndfile.c:46-70)."""
+    import minimodem_tpu.sigio.sndfile_fallback as fb
+
+    if fb.load() is None:
+        pytest.skip("no host libsndfile for the fallback")
+    path = _ext_path(tmp_path, "au", "g721")
+    S.write(path, S16, 48000, S.MAJOR_BY_EXT["au"] | _SUB_G721_32)
+    want, rate, ch = S.read(path)
+    got, rate2, ch2 = read_all(path, SampleFormat.FLOAT)
+    assert (rate2, ch2) == (rate, ch)
+    assert np.array_equal(got, want)
+
+
 def test_fallback_absent_keeps_native_error(tmp_path, monkeypatch):
     """Hosts without a loadable libsndfile keep the native reader's
     one-line error for undecodable subformats."""
     import minimodem_tpu.sigio.sndfile_fallback as fb
 
-    path = _ext_path(tmp_path, "wav", "gsmnofb")
-    S.write(path, S16, 48000, S.MAJOR_BY_EXT["wav"] | _SUB_GSM)
+    path = _ext_path(tmp_path, "au", "g721nofb")
+    S.write(path, S16, 48000, S.MAJOR_BY_EXT["au"] | _SUB_G721_32)
     monkeypatch.setattr(fb, "read_file", lambda *a: None)
-    with pytest.raises(RuntimeError, match="unsupported WAV format"):
+    with pytest.raises(RuntimeError, match="unsupported AU encoding"):
         read_all(path, SampleFormat.FLOAT)
 
 
