@@ -1,7 +1,10 @@
 """Native (C++) runtime components, loaded via ctypes.
 
-- wavio:  WAV codec (the data-loader path)
-- hostrx: host-side RX carrier state machine over score arrays
+- wavio:   WAV codec (the data-loader path)
+- hostrx:  host-side RX carrier state machine over score arrays
+- flacdec: FLAC decoder
+- gsm610:  GSM 06.10 (RPE-LTP) decoder, sample-exact vs libsndfile
+- wirepack: delta-bitpack wire packer (opt-in slow-link e2e format)
 
 Everything has a pure-Python fallback; `load()` returns None when the
 shared library is missing or unbuildable.  Build with:

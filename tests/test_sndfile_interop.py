@@ -273,6 +273,7 @@ def test_ulaw_wav_demodulates(tmp_path):
     assert m.demodulate(back) == b"u-law subformat rx"
 
 
+@pytest.mark.smoke
 def test_gsm_wav_demodulates(tmp_path):
     """The round-4 VERDICT's done-bar: a GSM-6.10-compressed WAV
     (decoded by the from-scratch native RPE-LTP decoder) decodes
